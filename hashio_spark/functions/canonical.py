@@ -1,0 +1,107 @@
+"""Canonical serialization + composite digests (span-sequence hashing).
+
+Generalizes the reference's two determinism primitives:
+
+* ``normalize_path`` (``/root/reference/lib/hashio/utils.py:152-184``) —
+  canonicalize the unit key before hashing.  Our unit is a *span*
+  ``(kind, text, media_ref, offset)``; canonical form is
+  ``kind|text|media_ref|offset`` with nulls as empty strings, spans joined
+  in array (offset) order by ``\\n`` — preserving the per-row invariant
+  "span-sequence equality over (kind, text, media_ref, order)".
+
+* ``composite_hash`` (``/root/reference/lib/hashio/encoder.py:447-460``) —
+  a deterministic digest of a set of (key, hash) pairs:
+  ``sorted(pairs)`` → ``"{key}:{hash}"`` lines → ``"\\n".join`` → digest.
+  Implemented as ``sort_array(collect_list(struct(key, hash)))`` →
+  ``transform`` → ``concat_ws`` → digest: ``sort_array`` supplies exactly
+  the determinism the reference gets from Python ``sorted()`` (struct
+  ordering is field-by-field, same as tuple ordering).
+
+Scale note: ``collect_list`` per group is the **parity** aggregate — it
+materializes the whole group, fine for per-partition manifests (≤ a few
+million keys/partition) but the 100 TB path should prefer
+:func:`agg_digest_xor`, an order-independent commutative fold (XOR of
+per-key 64-bit hashes) that needs no list materialization and no sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+SPAN_SCHEMA = "array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+
+
+def canonical_span_expr(spans_col: Column | str = "spans") -> Column:
+    """Canonical string for a spans array, in array order.
+
+    ``kind|text|media_ref|offset`` per span, ``\\n``-joined.  Nulls become
+    empty strings (concat_ws skips nulls, so we coalesce explicitly to keep
+    the field count fixed — a null text and a missing text must differ from
+    a shifted field).
+    """
+    c = F.col(spans_col) if isinstance(spans_col, str) else spans_col
+    return F.concat_ws(
+        "\n",
+        F.transform(
+            c,
+            lambda s: F.concat_ws(
+                "|",
+                F.coalesce(s["kind"], F.lit("")),
+                F.coalesce(s["text"], F.lit("")),
+                F.coalesce(s["media_ref"], F.lit("")),
+                F.coalesce(s["offset"].cast("string"), F.lit("")),
+            ),
+        ),
+    )
+
+
+def composite_digest_expr(key_col: Column | str, hash_col: Column | str, algo: str = "md5") -> Column:
+    """Aggregate expression: reference-parity ``composite_hash`` of a group.
+
+    Use inside ``groupBy(...).agg(...)``.  Sorting is done on
+    ``struct(key, hash)`` (tuple order, as the reference's ``sorted()``);
+    keys are cast to string before formatting so the serialized bytes are
+    ``"{key}:{hash}"`` exactly (``encoder.py:459``).
+    """
+    k = F.col(key_col) if isinstance(key_col, str) else key_col
+    h = F.col(hash_col) if isinstance(hash_col, str) else hash_col
+    pairs = F.sort_array(F.collect_list(F.struct(k.cast("string").alias("k"), h.cast("string").alias("h"))))
+    lines = F.concat_ws("\n", F.transform(pairs, lambda p: F.concat_ws(":", p["k"], p["h"])))
+    from hashio_spark.functions.digests import digest_expr
+
+    return digest_expr(lines, algo)
+
+
+def agg_digest_xor(key_col: Column | str, hash_col: Column | str) -> Column:
+    """Order-independent scalable group digest: XOR-fold of
+    ``xxhash64(key, hash)`` per row.
+
+    Commutative + associative → map-side partial aggregation, no
+    ``collect_list``, no sort, constant memory per group.  This is the
+    digest to use for 10^12-row partition manifests; it is *not*
+    byte-compatible with the reference (use :func:`composite_digest_expr`
+    when parity matters).
+    """
+    k = F.col(key_col) if isinstance(key_col, str) else key_col
+    h = F.col(hash_col) if isinstance(hash_col, str) else hash_col
+    per_row = F.xxhash64(k.cast("string"), h.cast("string"))
+    # bit_xor aggregate is commutative: insensitive to row order and
+    # partitioning, which is what makes it shuffle-friendly at scale.
+    return F.lower(F.lpad(F.hex(F.bit_xor(per_row)), 16, "0"))
+
+
+def doc_digest_expr(spans_col: Column | str = "spans", algo: str = "md5", parity: bool = False) -> Column:
+    """Per-document span-sequence digest over the canonical serialization.
+
+    ``parity=True`` routes through the Arrow pandas-UDF hexdigest kernels
+    (reference-identical bytes for xxh64/c4/crc32); default stays JVM-side.
+    """
+    canon = canonical_span_expr(spans_col)
+    if parity:
+        from hashio_spark.functions.digests import parity_udf
+
+        return parity_udf(algo)(canon)
+    from hashio_spark.functions.digests import digest_expr
+
+    return digest_expr(canon, algo)

@@ -1,0 +1,95 @@
+"""Pure-Python xxHash64 (XXH64) implementation.
+
+The reference engine's default digest algorithm is ``xxh64`` (see
+``/root/reference/lib/hashio/config.py:102`` and
+``/root/reference/lib/hashio/encoder.py:201-208``, which wrap the public
+``xxhash`` C extension).  That extension is not available in this
+environment, so we implement the public XXH64 algorithm (Yann Collet,
+BSD-licensed spec at https://github.com/Cyan4973/xxHash) directly.
+
+This kernel is the *parity* path only: it is used inside Arrow-vectorized
+pandas UDFs to byte-match the reference's hexdigests (golden value:
+``xxh64(b"hello, world\\n").hexdigest() == "abdc2a61f1f91f4c"``, from
+``/root/reference/tests/test_hashio.py:463-479``).  The *scale* path uses
+Spark's builtin ``F.xxhash64`` (JVM, codegen), which is a different
+encoding (seed 42 over internal row format) and therefore not
+byte-compatible.
+"""
+
+from __future__ import annotations
+
+_MASK64 = (1 << 64) - 1
+_P1 = 11400714785074694791
+_P2 = 14029467366897019727
+_P3 = 1609587929392839161
+_P4 = 9650029242287828579
+_P5 = 2870177450012600261
+
+
+def _rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _MASK64
+
+
+def _round(acc: int, lane: int) -> int:
+    acc = (acc + lane * _P2) & _MASK64
+    acc = _rotl(acc, 31)
+    return (acc * _P1) & _MASK64
+
+
+def _merge_round(acc: int, val: int) -> int:
+    val = (_rotl((val * _P2) & _MASK64, 31) * _P1) & _MASK64
+    acc ^= val
+    return (acc * _P1 + _P4) & _MASK64
+
+
+def xxh64_intdigest(data: bytes, seed: int = 0) -> int:
+    """XXH64 of ``data`` with the given seed, as an unsigned 64-bit int."""
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + _P1 + _P2) & _MASK64
+        v2 = (seed + _P2) & _MASK64
+        v3 = seed & _MASK64
+        v4 = (seed - _P1) & _MASK64
+        limit = n - 32
+        while i <= limit:
+            v1 = _round(v1, int.from_bytes(data[i : i + 8], "little"))
+            v2 = _round(v2, int.from_bytes(data[i + 8 : i + 16], "little"))
+            v3 = _round(v3, int.from_bytes(data[i + 16 : i + 24], "little"))
+            v4 = _round(v4, int.from_bytes(data[i + 24 : i + 32], "little"))
+            i += 32
+        h = (_rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12) + _rotl(v4, 18)) & _MASK64
+        h = _merge_round(h, v1)
+        h = _merge_round(h, v2)
+        h = _merge_round(h, v3)
+        h = _merge_round(h, v4)
+    else:
+        h = (seed + _P5) & _MASK64
+
+    h = (h + n) & _MASK64
+
+    while i + 8 <= n:
+        k1 = _round(0, int.from_bytes(data[i : i + 8], "little"))
+        h ^= k1
+        h = (_rotl(h, 27) * _P1 + _P4) & _MASK64
+        i += 8
+    if i + 4 <= n:
+        h ^= (int.from_bytes(data[i : i + 4], "little") * _P1) & _MASK64
+        h = (_rotl(h, 23) * _P2 + _P3) & _MASK64
+        i += 4
+    while i < n:
+        h ^= (data[i] * _P5) & _MASK64
+        h = (_rotl(h, 11) * _P1) & _MASK64
+        i += 1
+
+    h ^= h >> 33
+    h = (h * _P2) & _MASK64
+    h ^= h >> 29
+    h = (h * _P3) & _MASK64
+    h ^= h >> 32
+    return h
+
+
+def xxh64_hexdigest(data: bytes, seed: int = 0) -> str:
+    """16-char lowercase hex digest, matching ``xxhash.xxh64(...).hexdigest()``."""
+    return format(xxh64_intdigest(data, seed), "016x")

@@ -1,0 +1,131 @@
+"""Row-level constraint checks → violation-row DataFrames.
+
+Violation rows share one schema so rule outputs union cleanly:
+``(doc_id string, partition_id int, rule string, detail string)`` —
+the distributed analog of the reference's per-file mismatch lines
+(``"{algo} {path}"``, ``/root/reference/lib/hashio/cli.py:417``).
+
+Scale notes per rule:
+
+* uniqueness — one shuffle on the key; AQE coalesces; a 10^12-row key
+  space is fine because the aggregate is count-only (map-side partials).
+* referential — catalog joins are **broadcast** when the dim is small
+  (``F.broadcast``); for catalogs too big to broadcast pass
+  ``broadcast_catalog=False`` to fall back to a shuffled hash join, and
+  rely on AQE skew-join splitting for hot refs.  We join the *distinct
+  refs per partition of work*, not the exploded spans, so the shuffled
+  volume is bounded by distinct refs, not span count.
+* span-shape rules (null text, offset order) — pure per-row expressions,
+  no shuffle at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+VIOLATION_COLS = ("doc_id", "partition_id", "rule", "detail")
+
+
+def _violations(df: DataFrame, rule: str, detail: F.Column) -> DataFrame:
+    return df.select(
+        F.col("doc_id"),
+        F.col("partition_id"),
+        F.lit(rule).alias("rule"),
+        detail.cast("string").alias("detail"),
+    )
+
+
+def duplicate_keys(df: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Uniqueness check: groups with >1 row (reference dedupe-by-content
+    analog, ``/root/reference/lib/hashio/encoder.py:463-500`` — groupBy +
+    filter(count>1) replaces the in-memory hash_map bucketing)."""
+    dups = (
+        df.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("dup_count"), F.first("partition_id").alias("partition_id"))
+        .filter(F.col("dup_count") > 1)
+    )
+    return dups.select(
+        F.col(key).alias("doc_id"),
+        F.col("partition_id"),
+        F.lit("duplicate_doc_id").alias("rule"),
+        F.concat(F.lit("count="), F.col("dup_count").cast("string")).alias("detail"),
+    )
+
+
+def dangling_refs(
+    docs: DataFrame, catalog: DataFrame, broadcast_catalog: bool = True
+) -> DataFrame:
+    """Referential check: media_refs in spans that are absent from the
+    asset catalog (reference "missing file" analog,
+    ``/root/reference/lib/hashio/encoder.py:688-690``).
+
+    Distinct refs are extracted per doc with array functions (no explode
+    of text spans), then anti-joined against the catalog.
+    """
+    refs = docs.select(
+        "doc_id",
+        "partition_id",
+        F.explode(
+            F.array_distinct(
+                F.filter(
+                    F.transform(F.col("spans"), lambda s: s["media_ref"]),
+                    lambda r: r.isNotNull(),
+                )
+            )
+        ).alias("media_ref"),
+    )
+    cat = catalog.select("media_ref").distinct()
+    if broadcast_catalog:
+        cat = F.broadcast(cat)
+    dangling = refs.join(cat, "media_ref", "left_anti")
+    return dangling.select(
+        "doc_id",
+        "partition_id",
+        F.lit("dangling_media_ref").alias("rule"),
+        F.col("media_ref").alias("detail"),
+    )
+
+
+def null_text_spans(docs: DataFrame) -> DataFrame:
+    """Schema rule: text spans must carry non-null text."""
+    bad = F.filter(F.col("spans"), lambda s: (s["kind"] == "text") & s["text"].isNull())
+    return _violations(
+        docs.filter(F.size(bad) > 0).withColumn("_n", F.size(bad)),
+        "null_text_span",
+        F.concat(F.lit("n_bad_spans="), F.col("_n").cast("string")),
+    )
+
+
+def offset_order(docs: DataFrame) -> DataFrame:
+    """Schema rule: offsets strictly increasing within a doc.
+
+    ``zip_with(spans, slice(spans,2,...), ...)`` compares adjacent pairs —
+    an O(spans) per-row expression, no shuffle, no UDF.
+    """
+    spans = F.col("spans")
+    shifted = F.slice(spans, 2, F.greatest(F.size(spans) - 1, F.lit(0)))
+    bad_pairs = F.filter(
+        F.zip_with(
+            F.slice(spans, 1, F.greatest(F.size(spans) - 1, F.lit(0))),
+            shifted,
+            lambda a, b: a["offset"] >= b["offset"],
+        ),
+        lambda x: x,
+    )
+    n_bad = F.when(F.size(spans) > 1, F.size(bad_pairs)).otherwise(F.lit(0))
+    return _violations(
+        docs.withColumn("_n", n_bad).filter(F.col("_n") > 0),
+        "offset_out_of_order",
+        F.concat(F.lit("n_bad_pairs="), F.col("_n").cast("string")),
+    )
+
+
+def all_constraint_violations(
+    docs: DataFrame, catalog: DataFrame | None = None, broadcast_catalog: bool = True
+) -> DataFrame:
+    """Union of every constraint's violation rows (single schema)."""
+    out = duplicate_keys(docs).unionByName(null_text_spans(docs)).unionByName(offset_order(docs))
+    if catalog is not None:
+        out = out.unionByName(dangling_refs(docs, catalog, broadcast_catalog))
+    return out

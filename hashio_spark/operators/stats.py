@@ -1,0 +1,34 @@
+"""Per-partition column statistics — one shuffle, map-side partials.
+
+The stats pass generalizes the reference's metadata projection + progress
+counters (``/root/reference/lib/hashio/utils.py:107-126``,
+``worker.py:151-152,287-291``) into a single ``groupBy(partition_id)``
+aggregation: count / nulls / min / max / HLL-distinct per column plus the
+group digests.  Every aggregate here is algebraic → Spark computes
+map-side partials before the shuffle, so network traffic is
+O(partitions × columns), independent of row count: the property that
+makes the pass viable at 10^12 rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def stat_aggs(columns: list[str], hll_rsd: float = 0.05) -> list[Column]:
+    """count/null-count/min/max/approx-distinct aggregate expressions."""
+    aggs: list[Column] = [F.count(F.lit(1)).alias("row_count")]
+    for c in columns:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}_nulls"),
+            F.min(c).alias(f"{c}_min"),
+            F.max(c).alias(f"{c}_max"),
+            F.approx_count_distinct(c, hll_rsd).alias(f"{c}_approx_distinct"),
+        ]
+    return aggs
+
+
+def column_stats(df: DataFrame, columns: list[str], group_col: str = "partition_id") -> DataFrame:
+    """Per-group stats DataFrame, one row per group."""
+    return df.groupBy(group_col).agg(*stat_aggs(columns))

@@ -1,0 +1,110 @@
+"""Verify & diff: manifest↔live classification and run-vs-run diffs.
+
+Spark re-expressions of the reference's three comparison entry points:
+
+* :func:`verify_manifest` — ``verify_checksums``
+  (``/root/reference/lib/hashio/encoder.py:651-705``): left-outer join of
+  the stored manifest against the live table; classification column
+  replaces the imperative branch ladder (missing → warn
+  ``encoder.py:688-690``; mtime equal → silent skip ``:692-693``; digest
+  differs → violation ``:703-705``).
+* :func:`verify_manifests` — ``verify_caches``
+  (``encoder.py:708-742``): match by (key, digest), then rescue renames by
+  (name, digest), remainder = violations.
+* :func:`snapshot_diff` — ``Cache.diff_snapshots``
+  (``/root/reference/lib/hashio/cache.py:554-648``): ONE full-outer join +
+  a ``when`` chain replaces its three SQL queries + Python set cleanup —
+  the add∧remove false-positive fixup (``cache.py:633-646``) cannot occur
+  because a key present on both sides is classified exactly once.
+
+All three are single-shuffle equi-joins on the manifest key; with both
+sides bucketed/partitioned on the key the shuffle disappears entirely.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+STATUS_MISSING = "missing"
+STATUS_SKIP = "skip"  # freshness token matches → digest not recomputed
+STATUS_PASS = "pass"
+STATUS_VIOLATION = "violation"
+
+
+def verify_manifest(
+    manifest: DataFrame,
+    live: DataFrame,
+    key: str = "doc_id",
+    digest: str = "digest",
+    freshness: str | None = None,
+) -> DataFrame:
+    """Classify every manifest row against the live table.
+
+    ``freshness`` names an optional mtime-analog column present on both
+    sides: when equal, the row is skipped without digest comparison —
+    the reference's mtime short-circuit (``encoder.py:692-693``).
+    Output: key, status, old_digest, new_digest.
+    """
+    m = manifest.select(
+        F.col(key).alias("_key"),
+        F.col(digest).alias("old_digest"),
+        *([F.col(freshness).alias("_m_fresh")] if freshness else []),
+    )
+    t = live.select(
+        F.col(key).alias("_key"),
+        F.col(digest).alias("new_digest"),
+        *([F.col(freshness).alias("_t_fresh")] if freshness else []),
+    )
+    j = m.join(t, "_key", "left_outer")
+    status = F.when(F.col("new_digest").isNull(), STATUS_MISSING)
+    if freshness:
+        status = status.when(F.col("_m_fresh") == F.col("_t_fresh"), STATUS_SKIP)
+    status = status.when(F.col("old_digest") == F.col("new_digest"), STATUS_PASS).otherwise(STATUS_VIOLATION)
+    return j.select(F.col("_key").alias(key), status.alias("status"), "old_digest", "new_digest")
+
+
+def verify_manifests(
+    m1: DataFrame,
+    m2: DataFrame,
+    key: str = "doc_id",
+    digest: str = "digest",
+    name: str | None = None,
+) -> DataFrame:
+    """Manifest-vs-manifest verify with rename rescue (``verify_caches``).
+
+    Rows of ``m1`` not matched in ``m2`` by (key, digest) are re-matched by
+    (name, digest) when ``name`` is given (the reference's fallback scan
+    ``encoder.py:733-737``); still-unmatched rows are emitted as
+    violations.
+    """
+    cols = [key, digest] + ([name] if name else [])
+    left = m1.select(*cols)
+    unmatched = left.join(m2.select(key, digest), [key, digest], "left_anti")
+    if name:
+        rescued = unmatched.join(m2.select(name, digest).distinct(), [name, digest], "left_semi")
+        unmatched = unmatched.join(rescued.select(key), key, "left_anti")
+    return unmatched.select(key, digest).withColumn("status", F.lit(STATUS_VIOLATION))
+
+
+def snapshot_diff(
+    snap1: DataFrame, snap2: DataFrame, key: str = "doc_id", digest: str = "digest"
+) -> DataFrame:
+    """Run-vs-run diff → (key, change ∈ {added, removed, changed}).
+
+    One full-outer join; unchanged rows are filtered out.  Output ordering
+    is left to the caller (the reference sorts for printing,
+    ``cache.py:642-646``).
+    """
+    s1 = snap1.select(F.col(key).alias("_key"), F.col(digest).alias("_d1"))
+    s2 = snap2.select(F.col(key).alias("_key"), F.col(digest).alias("_d2"))
+    j = s1.join(s2, "_key", "full_outer")
+    change = (
+        F.when(F.col("_d1").isNull(), "added")
+        .when(F.col("_d2").isNull(), "removed")
+        .when(F.col("_d1") != F.col("_d2"), "changed")
+    )
+    return (
+        j.select(F.col("_key").alias(key), change.alias("change"))
+        .filter(F.col("change").isNotNull())
+    )

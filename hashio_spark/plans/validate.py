@@ -1,0 +1,112 @@
+"""The flagship plan: one vectorized validation pass over an
+interleaved-document table → (partition_report, violations).
+
+Spark analog of ``hashio <PATH> -o hash.json`` + ``--verify``
+(``/root/reference/lib/hashio/worker.py:204-294`` per-file pipeline +
+``encoder.py:651-705`` verify): a single logical DataFrame program that
+Catalyst compiles into
+
+  scan → per-row digest/flag expressions (whole-stage codegen)
+       → ONE shuffle on partition_id for the report aggregation
+       → side outputs: uniqueness shuffle on doc_id, broadcast anti-join
+         for referential violations.
+
+Scale properties:
+* per-doc work is pure column expressions (no Python in the hot path;
+  parity digests via Arrow pandas UDFs only when requested);
+* the report aggregation is algebraic → map-side partials, network
+  O(n_partitions);
+* the default group digest is the commutative XOR fold
+  (:func:`hashio_spark.functions.canonical.agg_digest_xor`) — no
+  collect_list, no skew from oversized span arrays; ``parity=True``
+  switches to the reference-parity sorted composite digest;
+* skewed docs (giant span arrays) cost O(spans) inside their own row —
+  they never concentrate on one reducer because the per-row work happens
+  before the shuffle and AQE splits skewed reduce partitions.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hashio_spark.functions.canonical import (
+    agg_digest_xor,
+    canonical_span_expr,
+    composite_digest_expr,
+    doc_digest_expr,
+)
+from hashio_spark.operators.constraints import all_constraint_violations
+from hashio_spark.operators.stats import stat_aggs
+
+
+@dataclass
+class ValidationResult:
+    report: DataFrame      # one row per partition_id: stats + digest + pass/fail
+    violations: DataFrame  # (doc_id, partition_id, rule, detail)
+    documents: DataFrame   # input + doc_digest column (for manifest/verify reuse)
+
+
+def validate(
+    docs: DataFrame,
+    catalog: DataFrame | None = None,
+    algo: str = "md5",
+    parity: bool = False,
+    broadcast_catalog: bool = True,
+) -> ValidationResult:
+    """Run the full stats + constraint + digest pass.
+
+    ``docs`` needs columns (doc_id, partition_id, spans[, quality]).
+    ``parity=True`` uses reference-byte-identical digests (pandas UDF) and
+    the sorted composite group digest; default keeps everything JVM-side.
+    """
+    enriched = docs.withColumn("doc_digest", doc_digest_expr("spans", algo, parity=parity)).withColumn(
+        "n_spans", F.size("spans")
+    )
+
+    group_digest = (
+        composite_digest_expr("doc_id", "doc_digest", algo)
+        if parity
+        else agg_digest_xor("doc_id", "doc_digest")
+    )
+
+    stat_cols = ["doc_id", "n_spans"] + (["quality"] if "quality" in docs.columns else [])
+    report = enriched.groupBy("partition_id").agg(
+        *stat_aggs(stat_cols),
+        group_digest.alias("digest"),
+        F.sum(F.size(F.filter(F.col("spans"), lambda s: s["kind"] == "text"))).alias("text_spans"),
+        F.sum(F.size(F.filter(F.col("spans"), lambda s: s["kind"] != "text"))).alias("media_spans"),
+    )
+
+    violations = all_constraint_violations(enriched, catalog, broadcast_catalog)
+
+    v_by_part = violations.groupBy("partition_id").agg(F.count(F.lit(1)).alias("violation_count"))
+    report = (
+        report.join(v_by_part, "partition_id", "left_outer")
+        .withColumn("violation_count", F.coalesce(F.col("violation_count"), F.lit(0)))
+        .withColumn("passed", F.col("violation_count") == 0)
+    )
+    return ValidationResult(report=report, violations=violations, documents=enriched)
+
+
+def manifest_rows(result: ValidationResult, run_id: str, algo: str, lineage: str = "") -> DataFrame:
+    """Project a ValidationResult into manifest-table rows
+    (FIXTURES.md §3 schema) for ManifestStore.merge."""
+    rep = result.report
+    stat_cols = [c for c in rep.columns if c not in ("partition_id", "digest", "row_count")]
+    stats_map = F.map_from_arrays(
+        F.array(*[F.lit(c) for c in stat_cols]),
+        F.array(*[F.col(c).cast("string") for c in stat_cols]),
+    )
+    return rep.select(
+        F.lit(run_id).alias("run_id"),
+        F.col("partition_id"),
+        F.lit(algo).alias("algo"),
+        F.col("digest"),
+        F.col("row_count").cast("long"),
+        stats_map.alias("stats"),
+        F.lit(lineage).alias("lineage"),
+        F.current_timestamp().alias("updated_at"),
+    )

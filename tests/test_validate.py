@@ -1,0 +1,123 @@
+"""Behavioral fixture tests: Spark validation vs an independent pure-pandas
+oracle over the same deterministic table (mirrors the reference's dedupe
+fixtures with exact expected counts, test_hashio.py:130-287)."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from hashio_spark.plans.validate import manifest_rows, validate
+
+
+def _pandas_violation_oracle(docs_pdf: pd.DataFrame, catalog_refs: set[str]) -> dict[str, int]:
+    """Independent (non-Spark) implementation of every constraint."""
+    dup_keys = docs_pdf["doc_id"].value_counts()
+    duplicate_doc_id = int((dup_keys > 1).sum())  # one violation row per key
+
+    null_text = 0
+    out_of_order = 0
+    dangling_pairs = 0
+    for _, row in docs_pdf.iterrows():
+        spans = row["spans"]
+        if any(s["kind"] == "text" and s["text"] is None for s in spans):
+            null_text += 1
+        offs = [s["offset"] for s in spans]
+        if len(offs) > 1 and any(a >= b for a, b in zip(offs, offs[1:])):
+            out_of_order += 1
+        refs = {s["media_ref"] for s in spans if s["media_ref"] is not None}
+        dangling_pairs += len(refs - catalog_refs)
+    return {
+        "duplicate_doc_id": duplicate_doc_id,
+        "null_text_span": null_text,
+        "offset_out_of_order": out_of_order,
+        "dangling_media_ref": dangling_pairs,
+    }
+
+
+@pytest.fixture(scope="module")
+def result(docs, catalog):
+    return validate(docs, catalog, algo="md5")
+
+
+def test_violations_match_pandas_oracle(result, docs_pdf, catalog):
+    cat_refs = {r["media_ref"] for r in catalog.collect()}
+    expected = _pandas_violation_oracle(docs_pdf, cat_refs)
+    got = {r["rule"]: r["n"] for r in result.violations.groupBy("rule").agg(F.count("*").alias("n")).collect()}
+    assert got == expected
+
+
+def test_report_row_counts(result, docs_pdf):
+    rep = result.report.select("partition_id", "row_count").toPandas()
+    exp = docs_pdf.groupby("partition_id").size()
+    for _, r in rep.iterrows():
+        assert r["row_count"] == exp[r["partition_id"]]
+    assert rep["row_count"].sum() == len(docs_pdf)
+
+
+def test_report_null_and_minmax(result, docs_pdf):
+    rep = result.report.toPandas().set_index("partition_id")
+    g = docs_pdf.groupby("partition_id")
+    for pid, grp in g:
+        assert rep.loc[pid, "doc_id_nulls"] == 0
+        assert rep.loc[pid, "doc_id_min"] == grp["doc_id"].min()
+        assert rep.loc[pid, "doc_id_max"] == grp["doc_id"].max()
+        n_spans = grp["spans"].map(len)
+        assert rep.loc[pid, "n_spans_min"] == n_spans.min()
+        assert rep.loc[pid, "n_spans_max"] == n_spans.max()
+
+
+def test_pass_fail_consistency(result):
+    joined = (
+        result.report.select("partition_id", "violation_count", "passed")
+        .withColumn("ok", (F.col("violation_count") == 0) == F.col("passed"))
+    )
+    assert joined.filter(~F.col("ok")).count() == 0
+
+
+def test_clean_table_passes(spark):
+    from hashio_spark.datagen import asset_catalog, documents_interleaved
+
+    clean = documents_interleaved(spark, n_docs=500, n_partitions=4, plant_violations=False)
+    cat = asset_catalog(spark, 1000)
+    res = validate(clean, cat)
+    assert res.violations.count() == 0
+    assert res.report.filter(~F.col("passed")).count() == 0
+
+
+def test_digest_deterministic_across_runs(docs, catalog):
+    r1 = validate(docs, catalog).report.select("partition_id", "digest")
+    r2 = validate(docs.repartition(5), catalog).report.select("partition_id", "digest")
+    assert sorted(map(tuple, r1.collect())) == sorted(map(tuple, r2.collect()))
+
+
+def test_manifest_resume_roundtrip(spark, docs, catalog, tmp_path):
+    from hashio_spark.sources.manifest_store import ManifestStore
+
+    res = validate(docs, catalog)
+    store = ManifestStore(spark, str(tmp_path / "manifest"))
+    # simulate an interrupted run: only partitions 0-3 completed
+    partial = manifest_rows(res, "run1", "md5").filter(F.col("partition_id") < 4)
+    store.merge(partial)
+    pending = store.pending_partitions(docs, "run1", "md5")
+    pend_parts = {r["partition_id"] for r in pending.select("partition_id").distinct().collect()}
+    assert pend_parts == {4, 5, 6, 7}
+    # finish the run; idempotent merge must not duplicate keys
+    store.merge(manifest_rows(res, "run1", "md5"))
+    store.merge(manifest_rows(res, "run1", "md5"))
+    m = store.read()
+    assert m.count() == 8
+    assert store.pending_partitions(docs, "run1", "md5").count() == 0
+
+
+def test_manifest_insert_or_ignore(spark, docs, catalog, tmp_path):
+    from hashio_spark.sources.manifest_store import ManifestStore
+
+    res = validate(docs, catalog)
+    store = ManifestStore(spark, str(tmp_path / "m2"))
+    rows = manifest_rows(res, "r", "md5")
+    store.merge(rows)
+    tampered = rows.withColumn("digest", F.lit("deadbeef"))
+    store.merge(tampered, prefer_new=False)  # INSERT OR IGNORE: existing wins
+    assert store.read().filter(F.col("digest") == "deadbeef").count() == 0
+    store.merge(tampered, prefer_new=True)   # MERGE-update: new wins
+    assert store.read().filter(F.col("digest") == "deadbeef").count() == 8
