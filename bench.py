@@ -1,0 +1,153 @@
+"""Benchmark harness (driver-run per round → BENCH_r{N}.json).
+
+Headline metric: docs/sec through the flagship validation pass (full
+stats + constraint + digest, BASELINE.json) over a deterministic
+synthetic interleaved-document table (datagen, seed 42 — no external
+data), plus wall-times for the catalog queries at $SPARK_GRAFT_SF_DIR.
+
+Scaling-efficiency proxy (BASELINE.md: no real cluster in-sandbox): the
+same validation job at local[N/4] and local[N] on the same input;
+efficiency = (T_small / T_big) / 4 — reported in the JSON line and
+mirrored into BENCH/BASELINE.md by the build notes.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "flagship": {...}, "scaling": {...}}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_DOCS = int(os.environ.get("BENCH_N_DOCS", "2000000"))
+
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "top_revenue_customers",
+    "stats_summary",
+    "composite_digest",
+    "dedupe_exact",
+    "dedupe_minhash_lsh",
+    "verify_manifest",
+    "snapshot_diff",
+    "drift_psi",
+    "ann_cosine_topk",
+    "validate_interleaved",
+]
+
+
+_DOCS_PATH = "/tmp/hashio_spark_bench_docs.parquet"
+
+
+def _materialize_docs(n_docs: int) -> None:
+    """One-time: write the deterministic synthetic table to parquet so the
+    measured job validates a table-resident dataset (the north-rule input
+    is an Iceberg table, not a generator expression)."""
+    from hashio_spark.datagen import documents_interleaved
+    from hashio_spark.session import get_spark
+
+    if os.path.exists(_DOCS_PATH + "/_SUCCESS") and os.environ.get("BENCH_REUSE_DOCS") == "1":
+        return
+    spark = get_spark(app="bench-datagen", cores=CPUS)
+    try:
+        docs = documents_interleaved(spark, n_docs=n_docs, n_partitions=64)
+        docs.write.mode("overwrite").parquet(_DOCS_PATH)
+    finally:
+        spark.stop()
+
+
+def _run_validation(cores: int) -> float:
+    """Run the flagship validation at a given parallelism over the
+    materialized table; returns steady-state wall seconds.
+
+    One untimed warmup pass runs first in the same JVM: whole-stage
+    codegen + C2 JIT compilation of the fused validation kernels is a
+    one-time cost per executor JVM, irrelevant to sustained throughput on
+    a long-running cluster job.  maxPartitionBytes is lowered so the
+    small local table still yields >= cores scan splits (at real scale
+    the default 128MB is right)."""
+    from hashio_spark.datagen import asset_catalog
+    from hashio_spark.plans.validate import validate
+    from hashio_spark.session import get_spark
+
+    spark = get_spark(
+        app=f"bench-validate-{cores}",
+        cores=cores,
+        shuffle_partitions=max(cores, 8),
+        extra_conf={"spark.sql.files.maxPartitionBytes": "4m"},
+    )
+    try:
+        docs = spark.read.parquet(_DOCS_PATH)
+        cat = asset_catalog(spark, 1000)
+
+        def one_pass() -> float:
+            t0 = time.monotonic()
+            res = validate(docs, cat, algo="xxh64")
+            res.report.collect()  # forces stats agg + violation union (persisted)
+            res.violations.count()
+            dt = time.monotonic() - t0
+            res.violations.unpersist()
+            return dt
+
+        one_pass()  # warmup: JIT + page cache
+        return min(one_pass(), one_pass())
+    finally:
+        spark.stop()
+
+
+def main() -> None:
+    from hashio_spark.queries import REGISTRY
+    from hashio_spark.session import get_spark
+
+    out: dict = {"sf": SF_DIR, "unit": "sec"}
+    qtimes: dict[str, float] = {}
+
+    spark = get_spark(app="bench", cores=CPUS)
+    for name in BENCH_QUERIES:
+        fn, _sql = REGISTRY[name]
+        t0 = time.monotonic()
+        df = fn(spark, SF_DIR)
+        n = df.count()
+        qtimes[name] = round(time.monotonic() - t0, 3)
+        print(f"# {name}: {qtimes[name]}s rows={n}", file=sys.stderr)
+    spark.stop()
+
+    # flagship throughput at full parallelism
+    _materialize_docs(N_DOCS)
+    t_big = _run_validation(CPUS)
+    docs_per_sec = N_DOCS / t_big
+    # scaling proxy: same job at quarter parallelism
+    small = max(1, CPUS // 4)
+    t_small = _run_validation(small)
+    efficiency = (t_small / t_big) / (CPUS / small)
+
+    out["metric"] = "docs/sec validated (full stats+constraint+digest pass)"
+    out["queries"] = qtimes
+    out["flagship"] = {
+        "n_docs": N_DOCS,
+        "cores": CPUS,
+        "seconds": round(t_big, 3),
+        "docs_per_sec": round(docs_per_sec, 1),
+    }
+    out["scaling"] = {
+        "cores_small": small,
+        "cores_big": CPUS,
+        "seconds_small": round(t_small, 3),
+        "seconds_big": round(t_big, 3),
+        "throughput_small_docs_per_sec": round(N_DOCS / t_small, 1),
+        "throughput_big_docs_per_sec": round(docs_per_sec, 1),
+        "efficiency": round(efficiency, 3),
+    }
+    out["value"] = round(sum(qtimes.values()) + t_big, 3)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,139 @@
+"""spark-submit entry point.
+
+    spark-submit --py-files hashio_spark.zip -m hashio_spark.cli  # or:
+    spark-submit --py-files hashio_spark.zip cli.py validate \
+        --input /path/docs.parquet --catalog /path/catalog.parquet \
+        --manifest /path/manifest --run-id run1 --algo xxh64
+
+Subcommands mirror the reference CLI surface
+(``/root/reference/lib/hashio/cli.py``): validate (hash+verify analog),
+verify (manifest vs live), diff (snapshot diff), query (manifest filter).
+Resume is automatic: completed (run_id, partition_id, algo) rows are
+anti-joined away before compute.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def _spark(args) -> SparkSession:
+    b = SparkSession.builder.appName("hashio-spark")
+    if args.master:
+        b = b.master(args.master)
+    return b.getOrCreate()
+
+
+def cmd_validate(args) -> int:
+    from hashio_spark.plans.validate import manifest_rows, validate
+    from hashio_spark.sources.manifest_store import ManifestStore
+
+    spark = _spark(args)
+    docs = spark.read.parquet(args.input)
+    catalog = spark.read.parquet(args.catalog) if args.catalog else None
+    store = ManifestStore(spark, args.manifest) if args.manifest else None
+
+    if store is not None and args.resume:
+        docs = store.pending_partitions(docs, args.run_id, args.algo)
+        if not docs.head(1):
+            print(json.dumps({"status": "nothing-to-do", "run_id": args.run_id}))
+            return 0
+
+    res = validate(docs, catalog, algo=args.algo, parity=args.parity)
+    if store is not None:
+        store.merge(manifest_rows(res, args.run_id, args.algo, lineage=args.input))
+    if args.violations_out:
+        res.violations.write.mode("overwrite").parquet(args.violations_out)
+    summary = res.report.agg(
+        F.sum("row_count").alias("docs"), F.sum("violation_count").alias("violations")
+    ).first()
+    print(json.dumps({"run_id": args.run_id, "docs": summary["docs"], "violations": summary["violations"]}))
+    return 0
+
+
+def cmd_verify(args) -> int:
+    from hashio_spark.operators.verify import verify_manifest
+    from hashio_spark.sources.manifest_store import ManifestStore
+
+    spark = _spark(args)
+    store = ManifestStore(spark, args.manifest)
+    m1 = store.snapshot(args.run_id).select("partition_id", "digest")
+    m2 = store.snapshot(args.other_run).select("partition_id", "digest")
+    out = verify_manifest(m1, m2, key="partition_id", digest="digest")
+    for r in out.filter(F.col("status") != "pass").orderBy("partition_id").collect():
+        print(f"{r['status']} partition={r['partition_id']}")
+    return 0
+
+
+def cmd_diff(args) -> int:
+    from hashio_spark.operators.verify import snapshot_diff
+    from hashio_spark.sources.manifest_store import ManifestStore
+
+    spark = _spark(args)
+    store = ManifestStore(spark, args.manifest)
+    s1 = store.snapshot(args.run_id).select("partition_id", "digest")
+    s2 = store.snapshot(args.other_run).select("partition_id", "digest")
+    marks = {"added": "+", "removed": "-", "changed": "~"}
+    for r in snapshot_diff(s1, s2, key="partition_id", digest="digest").orderBy("partition_id").collect():
+        print(f"{marks[r['change']]} partition={r['partition_id']}")
+    return 0
+
+
+def cmd_query(args) -> int:
+    from hashio_spark.sources.manifest_store import ManifestStore
+
+    spark = _spark(args)
+    store = ManifestStore(spark, args.manifest)
+    df = store.read()
+    if args.run_id:
+        df = df.filter(F.col("run_id") == args.run_id)
+    if args.algo:
+        df = df.filter(F.col("algo") == args.algo)
+    if args.since:
+        df = df.filter(F.col("updated_at") >= F.lit(args.since).cast("timestamp"))
+    for r in df.orderBy("run_id", "partition_id").collect():
+        print(f"{r['run_id']} {r['partition_id']} {r['algo']} {r['digest']} {r['row_count']}")
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="hashio-spark")
+    p.add_argument("--master", default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    v = sub.add_parser("validate")
+    v.add_argument("--input", required=True)
+    v.add_argument("--catalog")
+    v.add_argument("--manifest")
+    v.add_argument("--run-id", default="run")
+    v.add_argument("--algo", default="xxh64")
+    v.add_argument("--parity", action="store_true")
+    v.add_argument("--resume", action="store_true")
+    v.add_argument("--violations-out")
+    v.set_defaults(fn=cmd_validate)
+
+    for name, fn in (("verify", cmd_verify), ("diff", cmd_diff)):
+        s = sub.add_parser(name)
+        s.add_argument("--manifest", required=True)
+        s.add_argument("--run-id", required=True)
+        s.add_argument("--other-run", required=True)
+        s.set_defaults(fn=fn)
+
+    q = sub.add_parser("query")
+    q.add_argument("--manifest", required=True)
+    q.add_argument("--run-id")
+    q.add_argument("--algo")
+    q.add_argument("--since")
+    q.set_defaults(fn=cmd_query)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

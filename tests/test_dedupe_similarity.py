@@ -1,0 +1,116 @@
+"""Dedupe + similarity operators: planted near-dup fixtures with exact
+expected answers, and a brute-force oracle for LSH recall."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from hashio_spark.operators import dedupe as D
+from hashio_spark.operators import similarity as S
+
+
+@pytest.fixture(scope="module")
+def text_docs(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away tonight"
+    rows = [
+        ("d1", base),
+        ("d2", base),  # exact dup of d1
+        ("d3", base + " extra"),  # near dup of d1
+        ("d4", "completely different words describing spark shuffle partitions"),
+        ("d5", "another unrelated text about columnar parquet scan pruning"),
+        ("d6", base.replace("quick", "rapid")),  # near dup, one token changed
+    ]
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+
+def test_exact_duplicates(text_docs):
+    out = D.exact_duplicates(text_docs, "doc_id", "text").collect()
+    assert len(out) == 1
+    assert out[0]["dup_count"] == 2 and out[0]["keys"] == ["d1", "d2"]
+
+
+def test_minhash_lsh_finds_near_dups(text_docs):
+    sig = D.minhash_signatures(text_docs, "doc_id", "text", n_perm=16)
+    pairs = {(r["key_a"], r["key_b"]) for r in D.lsh_candidate_pairs(sig, n_bands=4).collect()}
+    assert ("d1", "d2") in pairs  # exact dups always collide on every band
+    # near-dups should be caught by at least one band; unrelated not
+    assert ("d1", "d4") not in pairs and ("d4", "d5") not in pairs
+
+
+def test_ngram_jaccard_verification(text_docs):
+    sig = D.minhash_signatures(text_docs, "doc_id", "text", n_perm=16)
+    cand = D.lsh_candidate_pairs(sig, n_bands=4)
+    verified = {(r["key_a"], r["key_b"]): r["jaccard"] for r in
+                D.ngram_jaccard_pairs(text_docs, cand, "doc_id", "text", threshold=0.5).collect()}
+    assert verified.get(("d1", "d2")) == 1.0
+    for (a, b) in verified:
+        assert {a, b} <= {"d1", "d2", "d3", "d6"}
+
+
+def test_simhash_near_dup_hamming(text_docs):
+    sim = D.simhash64(text_docs, "doc_id", "text")
+    vals = {r["key"]: r["simhash"] for r in sim.collect()}
+    assert vals["d1"] == vals["d2"]
+    ham_13 = bin(vals["d1"] ^ vals["d3"]).count("1")
+    ham_14 = bin(vals["d1"] ^ vals["d4"]).count("1")
+    assert ham_13 < ham_14
+    cands = {(r["key_a"], r["key_b"]): r["hamming"] for r in D.simhash_candidates(sim).collect()}
+    assert cands.get(("d1", "d2")) == 0
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(42)
+    vecs = rng.randn(40, 16)
+    vecs[1] = vecs[0] + 0.01 * rng.randn(16)  # planted near-dup of vec 0
+    pdf = pd.DataFrame({"vec_id": range(40), "embedding": [v.astype("float32").tolist() for v in vecs]})
+    return spark.createDataFrame(pdf, schema="vec_id long, embedding array<float>")
+
+
+def test_brute_force_topk_matches_numpy(embeddings):
+    import numpy as np
+
+    q = embeddings.filter(F.col("vec_id") == 0)
+    out = S.brute_force_topk(embeddings, q, "vec_id", "embedding", k=3).collect()
+    got = [(r["rank"], r["neighbor_id"]) for r in sorted(out, key=lambda r: r["rank"])]
+    pdf = embeddings.toPandas().sort_values("vec_id")
+    M = np.array([np.array(v, dtype="float64") for v in pdf["embedding"]])
+    sims = M @ M[0] / (np.linalg.norm(M, axis=1) * np.linalg.norm(M[0]))
+    order = [i for i in np.argsort(-sims) if i != 0][:3]
+    assert [n for _, n in got] == order
+    assert got[0][1] == 1  # the planted near-dup is the top neighbor
+
+
+def test_embedding_neardup_pairs(embeddings):
+    out = D.embedding_neardup_pairs(embeddings, "vec_id", "embedding", threshold=0.95).collect()
+    assert {(r["key_a"], r["key_b"]) for r in out} == {(0, 1)}
+
+
+def test_lsh_topk_recall(embeddings):
+    """LSH with few planes must include the planted near-dup for query 0
+    (same-bucket probability ~1 for cosine≈1)."""
+    q = embeddings.filter(F.col("vec_id") == 0)
+    out = S.lsh_topk(embeddings, q, "vec_id", "embedding", k=3, n_planes=6, dim=16).collect()
+    assert any(r["neighbor_id"] == 1 for r in out)
+
+
+def test_multimodal_plumbing(spark):
+    from hashio_spark.operators.multimodal import extract_media_features, synth_media_table
+
+    media = synth_media_table(spark, 50)
+    out = extract_media_features(media)
+    rows = out.collect()
+    assert len(rows) == 50
+    # deterministic digests + kind-appropriate metadata shape
+    byid = {r["media_ref"]: r for r in rows}
+    assert all(r["n_bytes"] > 0 and len(r["content_digest"]) == 32 for r in rows)
+    for r in rows:
+        if r["media_kind"] == "image":
+            assert r["width"] is not None and r["duration_ms"] is None
+        else:
+            assert r["duration_ms"] is not None
+    # rerun → identical (determinism)
+    rows2 = extract_media_features(media).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))

@@ -1,0 +1,104 @@
+"""Local replica of the driver's correctness gate: run every REGISTRY query
+on Spark and its oracle SQL on DuckDB at sf0.01, compare row count + column
+names + order-insensitive value hash.  Usage:
+
+    PYTHONPATH=/root/repo python tools/oracle_check.py [name ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+
+import duckdb
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def norm_cell(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return str(int(v))
+    if isinstance(v, float):
+        if v != v:
+            return "NaN"
+        # repr-stable doubles: round-trip via 17g then normalize -0.0
+        if v == 0:
+            v = 0.0
+        return format(v, ".12g")
+    return str(v)
+
+
+def frame_hash(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted("|".join(norm_cell(r[i]) for i in order) for r in rows)
+    h = hashlib.md5()
+    for ln in lines:
+        h.update(ln.encode("utf-8"))
+        h.update(b"\n")
+    return h.hexdigest()
+
+
+def main(names):
+    from hashio_spark.queries import REGISTRY
+    from hashio_spark.session import get_spark
+
+    spark = get_spark(cores=8, app="oracle-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+
+    failures = 0
+    for name, (fn, sql) in REGISTRY.items():
+        if names and name not in names:
+            continue
+        try:
+            sdf = fn(spark, SF_DIR)
+            s_cols = sdf.columns
+            s_rows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            print(f"FAIL {name}: spark error: {type(e).__name__}: {str(e)[:300]}")
+            failures += 1
+            continue
+        if sql is None:
+            print(f"ok?  {name}: rows-only (no oracle), rows={len(s_rows)}")
+            continue
+        try:
+            cur = con.execute(sql)
+            d_cols = [c[0] for c in cur.description]
+            d_rows = cur.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {str(e)[:300]}")
+            failures += 1
+            continue
+        problems = []
+        if sorted(s_cols) != sorted(d_cols):
+            problems.append(f"cols spark={sorted(s_cols)} duck={sorted(d_cols)}")
+        if len(s_rows) != len(d_rows):
+            problems.append(f"rowcount spark={len(s_rows)} duck={len(d_rows)}")
+        if not problems:
+            hs, hd = frame_hash(s_cols, s_rows), frame_hash(d_cols, d_rows)
+            if hs != hd:
+                problems.append(f"valuehash spark={hs} duck={hd}")
+                # show first differing line for debugging
+                order_s = sorted(range(len(s_cols)), key=lambda i: s_cols[i])
+                order_d = sorted(range(len(d_cols)), key=lambda i: d_cols[i])
+                ls = sorted("|".join(norm_cell(r[i]) for i in order_s) for r in s_rows)
+                ld = sorted("|".join(norm_cell(r[i]) for i in order_d) for r in d_rows)
+                for a, b in zip(ls, ld):
+                    if a != b:
+                        problems.append(f"  first diff:\n   spark: {a[:220]}\n   duck : {b[:220]}")
+                        break
+        if problems:
+            failures += 1
+            print(f"FAIL {name}: " + "; ".join(problems))
+        else:
+            print(f"PASS {name}: rows={len(s_rows)}")
+    spark.stop()
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main(set(sys.argv[1:]))
