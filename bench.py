@@ -97,7 +97,10 @@ def _run_validation(cores: int) -> float:
             return dt
 
         one_pass()  # warmup: JIT + page cache
-        return min(one_pass(), one_pass())
+        # min-of-3: this sandbox's hypervisor intermittently starves vCPUs
+        # (dmesg "hrtimer: interrupt took 31ms"); min approximates the
+        # unstarved run
+        return min(one_pass() for _ in range(3))
     finally:
         spark.stop()
 

@@ -38,7 +38,6 @@ from hashio_spark.functions.canonical import (
     composite_digest_expr,
     doc_digest_expr,
 )
-from hashio_spark.operators.constraints import all_constraint_violations
 from hashio_spark.operators.stats import stat_aggs
 
 
@@ -69,8 +68,33 @@ def validate(
     persisting them avoids a second full scan of the document table even
     at 10^12-row scale.  Callers should ``unpersist()`` when done.
     """
-    enriched = docs.withColumn("doc_digest", doc_digest_expr("spans", algo, parity=parity)).withColumn(
-        "n_spans", F.size("spans")
+    # ---- single full-width pass -------------------------------------
+    # digest + stats + span-shape violation FLAGS are computed in one
+    # projection so the table is decoded exactly once; uniqueness and
+    # referential checks run on column-pruned scans (doc_id-only /
+    # media_ref-only) plus their own small shuffles.
+    spans = F.col("spans")
+    n_bad_null = F.size(F.filter(spans, lambda s: (s["kind"] == "text") & s["text"].isNull()))
+    shifted = F.slice(spans, 2, F.greatest(F.size(spans) - 1, F.lit(0)))
+    n_bad_ooo = F.when(
+        F.size(spans) > 1,
+        F.size(
+            F.filter(
+                F.zip_with(
+                    F.slice(spans, 1, F.greatest(F.size(spans) - 1, F.lit(0))),
+                    shifted,
+                    lambda a, b: a["offset"] >= b["offset"],
+                ),
+                lambda x: x,
+            )
+        ),
+    ).otherwise(F.lit(0))
+
+    enriched = (
+        docs.withColumn("doc_digest", doc_digest_expr("spans", algo, parity=parity))
+        .withColumn("n_spans", F.size("spans"))
+        .withColumn("_n_null_text", n_bad_null)
+        .withColumn("_n_ooo", n_bad_ooo)
     )
 
     group_digest = (
@@ -83,21 +107,58 @@ def validate(
     report = enriched.groupBy("partition_id").agg(
         *stat_aggs(stat_cols),
         group_digest.alias("digest"),
-        F.sum(F.size(F.filter(F.col("spans"), lambda s: s["kind"] == "text"))).alias("text_spans"),
-        F.sum(F.size(F.filter(F.col("spans"), lambda s: s["kind"] != "text"))).alias("media_spans"),
+        F.sum(F.size(F.filter(spans, lambda s: s["kind"] == "text"))).alias("text_spans"),
+        F.sum(F.size(F.filter(spans, lambda s: s["kind"] != "text"))).alias("media_spans"),
+        F.sum((F.col("_n_null_text") > 0).cast("long")).alias("null_text_violations"),
+        F.sum((F.col("_n_ooo") > 0).cast("long")).alias("offset_violations"),
     )
 
-    violations = all_constraint_violations(enriched, catalog, broadcast_catalog)
+    # violation ROWS: span-shape rules reuse the flag columns; uniqueness /
+    # referential bring their per-partition counts for the report
+    shape_viol = enriched.filter((F.col("_n_null_text") > 0) | (F.col("_n_ooo") > 0)).select(
+        "doc_id",
+        "partition_id",
+        F.explode(
+            F.concat(
+                F.when(F.col("_n_null_text") > 0,
+                       F.array(F.struct(F.lit("null_text_span").alias("rule"),
+                                        F.concat(F.lit("n_bad_spans="), F.col("_n_null_text").cast("string")).alias("detail")))
+                       ).otherwise(F.array().cast("array<struct<rule:string,detail:string>>")),
+                F.when(F.col("_n_ooo") > 0,
+                       F.array(F.struct(F.lit("offset_out_of_order").alias("rule"),
+                                        F.concat(F.lit("n_bad_pairs="), F.col("_n_ooo").cast("string")).alias("detail")))
+                       ).otherwise(F.array().cast("array<struct<rule:string,detail:string>>")),
+            )
+        ).alias("v"),
+    ).select("doc_id", "partition_id", F.col("v.rule").alias("rule"), F.col("v.detail").alias("detail"))
+
+    from hashio_spark.operators.constraints import dangling_refs, duplicate_keys
+
+    violations = shape_viol.unionByName(duplicate_keys(docs))
+    if catalog is not None:
+        violations = violations.unionByName(dangling_refs(docs, catalog, broadcast_catalog))
     if persist_violations:
         violations = violations.persist()
 
-    v_by_part = violations.groupBy("partition_id").agg(F.count(F.lit(1)).alias("violation_count"))
+    # uniqueness + referential counts arrive via one tiny aggregation over
+    # the (persisted) violation rows — n_partitions rows, not a rescan
+    other_counts = (
+        violations.filter(F.col("rule").isin("duplicate_doc_id", "dangling_media_ref"))
+        .groupBy("partition_id")
+        .agg(F.count(F.lit(1)).alias("_other_violations"))
+    )
     report = (
-        report.join(v_by_part, "partition_id", "left_outer")
-        .withColumn("violation_count", F.coalesce(F.col("violation_count"), F.lit(0)))
+        report.join(other_counts, "partition_id", "left_outer")
+        .withColumn(
+            "violation_count",
+            F.col("null_text_violations") + F.col("offset_violations") + F.coalesce(F.col("_other_violations"), F.lit(0)),
+        )
+        .drop("_other_violations")
         .withColumn("passed", F.col("violation_count") == 0)
     )
-    return ValidationResult(report=report, violations=violations, documents=enriched)
+    return ValidationResult(
+        report=report, violations=violations, documents=enriched.drop("_n_null_text", "_n_ooo")
+    )
 
 
 def manifest_rows(result: ValidationResult, run_id: str, algo: str, lineage: str = "") -> DataFrame:

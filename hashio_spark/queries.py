@@ -574,6 +574,146 @@ WHERE a.vec_id < b.vec_id
 
 
 # ---------------------------------------------------------------------------
+# Window / grouping-set / pivot coverage + rollup digests
+# ---------------------------------------------------------------------------
+
+
+def topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        o.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 2)
+        .select("o_custkey", "rank", "o_orderkey", "o_totalprice")
+        .filter(F.col("o_custkey") % 50 == 0)  # keep the oracle frame small
+    )
+
+
+TOPK_ORDERS_SQL = """
+SELECT o_custkey, rank, o_orderkey, o_totalprice FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rank
+  FROM orders
+) WHERE rank <= 2 AND o_custkey % 50 = 0
+"""
+
+
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: a >30-minute gap starts a new session; output
+    sessions-per-user (lag + cumulative sum over an event-time window)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = e.withColumn("new_sess", new_sess)
+    return sess.groupBy("user_id").agg(
+        F.sum("new_sess").alias("n_sessions"), F.count(F.lit(1)).alias("n_events")
+    )
+
+
+SESSIONIZE_SQL = """
+WITH g AS (
+  SELECT user_id, event_id, ts,
+    cast(floor(epoch(ts)) AS bigint) - cast(floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS bigint) AS gap
+  FROM events
+)
+SELECT user_id,
+  sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END) AS n_sessions,
+  count(*) AS n_events
+FROM g GROUP BY user_id
+"""
+
+
+def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").withColumn("day", F.dayofmonth("ts"))
+    return (
+        e.groupBy("day")
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .count()
+        .na.fill(0, ["click", "view", "purchase", "signup", "error"])
+    )
+
+
+PIVOT_EVENTS_SQL = """
+SELECT day(ts) AS day,
+  count(*) FILTER (WHERE event_type = 'click') AS click,
+  count(*) FILTER (WHERE event_type = 'view') AS view,
+  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+  count(*) FILTER (WHERE event_type = 'signup') AS signup,
+  count(*) FILTER (WHERE event_type = 'error') AS error
+FROM events GROUP BY 1
+"""
+
+
+def rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.rollup("lang", "source")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("chars"))
+    )
+
+
+ROLLUP_COUNTS_SQL = """
+SELECT lang, source, count(*) AS n, sum(n_chars) AS chars
+FROM documents GROUP BY ROLLUP (lang, source)
+"""
+
+
+def dataset_digest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tree hash: digest of per-lang composite digests in lang order —
+    one digest for the whole documents table (rollup.dataset_digest)."""
+    from hashio_spark.operators.rollup import ordered_digest_expr
+
+    comp = composite_digest(spark, sf_dir)
+    return comp.agg(ordered_digest_expr("lang", "composite", "md5").alias("dataset_digest"))
+
+
+DATASET_DIGEST_SQL = """
+WITH comp AS (
+  SELECT lang,
+    md5(string_agg(concat(cast(doc_id AS varchar), ':', md5(text)), chr(10)
+        ORDER BY cast(doc_id AS varchar), md5(text))) AS composite
+  FROM documents GROUP BY lang
+)
+SELECT md5(string_agg(composite, '' ORDER BY lang, composite)) AS dataset_digest FROM comp
+"""
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hashio_spark.functions.text import quality_score_expr
+
+    return _t(spark, sf_dir, "documents").select("doc_id", quality_score_expr("text").alias("score"))
+
+
+QUALITY_SCORE_SQL = r"""
+WITH f AS (
+  SELECT doc_id,
+    cast(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS double) AS alpha,
+    cast(length(regexp_replace(text, '[^0-9]', '', 'g')) AS double) AS digits,
+    cast(len(regexp_split_to_array(text, '\s+')) AS double) AS n_tok,
+    cast(len(regexp_extract_all(text, '\b(the|of|and|a|to|in|is|that|it|for)\b')) AS double) AS stop,
+    greatest(cast(length(text) AS double), 1.0) AS safe_n
+  FROM documents
+)
+SELECT doc_id,
+  round(greatest(0.0, least(1.0,
+      0.35 * (alpha / safe_n)
+    + 0.25 * least((stop / greatest(n_tok, 1.0)) * 4, 1.0)
+    + 0.25 * least(n_tok / 100.0, 1.0)
+    + 0.15 * (1 - least((digits / safe_n) * 5, 1.0)))), 6) AS score
+FROM f
+"""
+
+
+def simhash64_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints (no tractable SQL oracle — rows-only check;
+    correctness covered by tests/test_dedupe_similarity.py)."""
+    from hashio_spark.operators.dedupe import simhash64
+
+    return simhash64(_t(spark, sf_dir, "documents"), "doc_id", "text").withColumnRenamed("key", "doc_id")
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -598,6 +738,13 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "lang_score": (lang_score, LANG_SCORE_SQL),
     "ann_cosine_topk": (ann_cosine_topk, ANN_COSINE_TOPK_SQL),
     "embedding_neardup": (embedding_neardup, EMBEDDING_NEARDUP_SQL),
+    "topk_orders_per_customer": (topk_orders_per_customer, TOPK_ORDERS_SQL),
+    "sessionize_events": (sessionize_events, SESSIONIZE_SQL),
+    "pivot_event_counts": (pivot_event_counts, PIVOT_EVENTS_SQL),
+    "rollup_counts": (rollup_counts, ROLLUP_COUNTS_SQL),
+    "dataset_digest": (dataset_digest_q, DATASET_DIGEST_SQL),
+    "quality_score": (quality_score, QUALITY_SCORE_SQL),
+    "simhash64": (simhash64_q, None),
 }
 
 
