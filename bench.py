@@ -63,33 +63,45 @@ def _materialize_docs(n_docs: int) -> None:
         spark.stop()
 
 
-def _run_validation(cores: int) -> float:
-    """Run the flagship validation at a given parallelism over the
-    materialized table; returns steady-state wall seconds.
+def _run_validation(n_executors: int, exec_cores: int = 8, algo: str = "fast") -> float:
+    """Run the flagship validation on a local-cluster of ``n_executors``
+    JVMs × ``exec_cores`` threads over the materialized table; returns
+    min-of-3 wall seconds after one warmup pass.
 
-    One untimed warmup pass runs first in the same JVM: whole-stage
-    codegen + C2 JIT compilation of the fused validation kernels is a
-    one-time cost per executor JVM, irrelevant to sustained throughput on
-    a long-running cluster job.  maxPartitionBytes is lowered so the
-    small local table still yields >= cores scan splits (at real scale
-    the default 128MB is right)."""
+    Topology notes (see BENCH.md):
+    * multi-JVM executors are the honest proxy for the north rule's
+      "N vs 4N executors" AND keep each JVM under this sandbox's
+      safepoint-stall thread knee (>16 threads/JVM is pathological here);
+    * warmup amortizes C2/codegen compile (one-time per executor JVM);
+    * min-of-3 filters hypervisor vCPU-starvation outliers.
+    """
+    from pyspark.sql import SparkSession
+
     from hashio_spark.datagen import asset_catalog
     from hashio_spark.plans.validate import validate
-    from hashio_spark.session import get_spark
 
-    spark = get_spark(
-        app=f"bench-validate-{cores}",
-        cores=cores,
-        shuffle_partitions=max(cores, 8),
-        extra_conf={"spark.sql.files.maxPartitionBytes": "4m"},
+    spark = (
+        SparkSession.builder.master(f"local-cluster[{n_executors},{exec_cores},12288]")
+        .appName(f"bench-validate-{n_executors}x{exec_cores}")
+        .config("spark.sql.shuffle.partitions", str(max(n_executors * exec_cores, 64)))
+        # NB: local-cluster's third arg is only the WORKER capacity;
+        # executors still size from spark.executor.memory (default 1g)
+        .config("spark.executor.memory", "10g")
+        .config("spark.sql.adaptive.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.files.maxPartitionBytes", "8m")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
     )
+    spark.sparkContext.setLogLevel("ERROR")
     try:
         docs = spark.read.parquet(_DOCS_PATH)
         cat = asset_catalog(spark, 1000)
 
         def one_pass() -> float:
             t0 = time.monotonic()
-            res = validate(docs, cat, algo="xxh64")
+            res = validate(docs, cat, algo=algo)
             res.report.collect()  # forces stats agg + violation union (persisted)
             res.violations.count()
             dt = time.monotonic() - t0
@@ -97,9 +109,6 @@ def _run_validation(cores: int) -> float:
             return dt
 
         one_pass()  # warmup: JIT + page cache
-        # min-of-3: this sandbox's hypervisor intermittently starves vCPUs
-        # (dmesg "hrtimer: interrupt took 31ms"); min approximates the
-        # unstarved run
         return min(one_pass() for _ in range(3))
     finally:
         spark.stop()
@@ -122,31 +131,37 @@ def main() -> None:
         print(f"# {name}: {qtimes[name]}s rows={n}", file=sys.stderr)
     spark.stop()
 
-    # flagship throughput at full parallelism
+    # flagship throughput: N vs 4N executor JVMs (8 cores each)
     _materialize_docs(N_DOCS)
-    t_big = _run_validation(CPUS)
+    exec_cores = 8
+    n_small, n_big = max(1, CPUS // 32), max(1, CPUS // 8)
+    t_big = _run_validation(n_big, exec_cores)
     docs_per_sec = N_DOCS / t_big
-    # scaling proxy: same job at quarter parallelism
-    small = max(1, CPUS // 4)
-    t_small = _run_validation(small)
-    efficiency = (t_small / t_big) / (CPUS / small)
+    t_small = _run_validation(n_small, exec_cores)
+    efficiency = (t_small / t_big) / (n_big / n_small)
+    small = n_small * exec_cores
+    CPUS_big = n_big * exec_cores
 
     out["metric"] = "docs/sec validated (full stats+constraint+digest pass)"
     out["queries"] = qtimes
     out["flagship"] = {
         "n_docs": N_DOCS,
-        "cores": CPUS,
+        "executors": f"{n_big}x{exec_cores}",
+        "cores": CPUS_big,
         "seconds": round(t_big, 3),
         "docs_per_sec": round(docs_per_sec, 1),
     }
     out["scaling"] = {
+        "executors_small": f"{n_small}x{exec_cores}",
+        "executors_big": f"{n_big}x{exec_cores}",
         "cores_small": small,
-        "cores_big": CPUS,
+        "cores_big": CPUS_big,
         "seconds_small": round(t_small, 3),
         "seconds_big": round(t_big, 3),
         "throughput_small_docs_per_sec": round(N_DOCS / t_small, 1),
         "throughput_big_docs_per_sec": round(docs_per_sec, 1),
         "efficiency": round(efficiency, 3),
+        "method": "local-cluster N vs 4N executor JVMs, warmup + min-of-3 (see BENCH.md)",
     }
     out["value"] = round(sum(qtimes.values()) + t_big, 3)
     print(json.dumps(out))

@@ -84,6 +84,64 @@ def read_txt(path: str, algo: str) -> dict:
     return result
 
 
+def write_mhl(
+    df: DataFrame, path: str, key_col: str, digest_col: str = "digest",
+    algo: str = "md5", size_col: str | None = None, mtime_col: str | None = None,
+    hashdate: int = 0,
+) -> None:
+    """MHL 1.1 hashlist export (``MHLExporter``,
+    ``/root/reference/lib/hashio/exporter.py:184-303``): ``<hashlist
+    version="1.1">`` with one ``<hash>`` element per row containing
+    ``file``/``hashdate``/``<algo>``/optional ``size``/
+    ``lastmodificationdate``.  stdlib ``xml.etree`` (lxml not required);
+    ``hashdate`` is caller-supplied for determinism (the reference stamps
+    now())."""
+    import xml.etree.ElementTree as ET
+    from datetime import datetime, timezone
+
+    def ts(v: float) -> str:
+        return datetime.fromtimestamp(int(v), tz=timezone.utc).strftime("%Y-%m-%dT%H:%M:%SZ")
+
+    cols = [F.col(key_col).cast("string").alias("_k"), F.col(digest_col).alias("_d")]
+    if size_col:
+        cols.append(F.col(size_col).alias("_s"))
+    if mtime_col:
+        cols.append(F.col(mtime_col).alias("_m"))
+    rows = df.select(*cols).orderBy("_k").collect()
+    with open(path, "w") as f:
+        f.write('<?xml version="1.0" encoding="UTF-8"?>\n<hashlist version="1.1">\n')
+        for r in rows:
+            h = ET.Element("hash")
+            if mtime_col:
+                ET.SubElement(h, "lastmodificationdate").text = ts(r["_m"])
+            if size_col:
+                ET.SubElement(h, "size").text = str(r["_s"])
+            ET.SubElement(h, algo).text = r["_d"]
+            ET.SubElement(h, "hashdate").text = ts(hashdate)
+            ET.SubElement(h, "file").text = r["_k"]
+            ET.indent(h, space="  ")
+            f.write(ET.tostring(h, encoding="unicode") + "\n")
+        f.write("</hashlist>\n")
+
+
+def read_mhl(path: str, algo: str = "md5") -> dict:
+    """MHLExporter.read parity: path-keyed dict of hash entries."""
+    import xml.etree.ElementTree as ET
+
+    tree = ET.parse(path)
+    out = {}
+    for h in tree.getroot().findall("hash"):
+        key = h.findtext("file")
+        out[key] = {
+            "hashdate": h.findtext("hashdate"),
+            "lastmodificationdate": h.findtext("lastmodificationdate"),
+            "size": int(h.findtext("size", default="0") or 0),
+            "file": key,
+            algo: h.findtext(algo, default=""),
+        }
+    return out
+
+
 def txt_lines_df(df: DataFrame, key_col: str, digest_col: str = "digest") -> DataFrame:
     """Distributed TXT formatting — use ``.write.text(...)`` on the result
     for bulk export (the scale path; ordering is per-partition)."""

@@ -89,6 +89,30 @@ def test_hash_json_byte_parity(spark, tmp_path):
     }
 
 
+def test_mhl_roundtrip(spark, tmp_path):
+    import pandas as pd
+
+    from hashio_spark.sources.exporters import read_mhl, write_mhl
+
+    df = spark.createDataFrame(
+        pd.DataFrame({
+            "path": ["a.mov", "b.wav"],
+            "digest": ["d41d8cd98f00b204e9800998ecf8427e", "aa" * 16],
+            "size": [100, 200],
+            "mtime": [1700000000.0, 1700000100.0],
+        })
+    )
+    p = tmp_path / "out.mhl"
+    write_mhl(df, str(p), key_col="path", algo="md5", size_col="size", mtime_col="mtime", hashdate=1700000500)
+    text = p.read_text()
+    assert text.startswith('<?xml version="1.0" encoding="UTF-8"?>\n<hashlist version="1.1">')
+    assert text.rstrip().endswith("</hashlist>")
+    got = read_mhl(str(p), "md5")
+    assert got["a.mov"]["md5"] == "d41d8cd98f00b204e9800998ecf8427e"
+    assert got["a.mov"]["size"] == 100
+    assert got["b.wav"]["lastmodificationdate"] == "2023-11-14T22:15:00Z"
+
+
 def test_txt_roundtrip(spark, tmp_path):
     df = spark.createDataFrame(pd.DataFrame({"path": ["x", "y z"], "digest": ["aa", "bb"]}))
     p = tmp_path / "hashes.txt"
