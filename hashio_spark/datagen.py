@@ -142,35 +142,86 @@ def expected_violation_counts(n_docs: int) -> dict[str, int]:
     }
 
 
-def interleave_from_flat(docs: DataFrame, n_assets: int = 50, words_per_span: int = 8) -> DataFrame:
+# planted-violation mods for interleave_from_flat (SQL-replicable rules)
+IFF_DUP_MOD = 41       # doc_id % 41 == 1 → reuses key doc_id-1 (duplicate doc_id)
+IFF_NULLTEXT_MOD = 43  # doc_id % 43 == 0 → first text chunk nulled
+IFF_OOO_MOD = 47       # doc_id % 47 == 0 → chunk offsets reversed
+IFF_DANGLE_MOD = 30    # doc_id % 30 == 0 (⊂ %3 media docs) → ref not in catalog
+IFF_N_PARTITIONS = 16
+
+
+def interleave_from_flat(
+    docs: DataFrame, n_assets: int = 50, words_per_span: int = 8, plant_violations: bool = False
+) -> DataFrame:
     """Derive an interleaved-document table from the driver's flat
     ``documents.parquet`` (doc_id, text, lang, source, n_chars):
     text is chunked into ``words_per_span``-word text spans, and a
     deterministic subset of docs gets a trailing media span.  Pure column
-    expressions → runs at any scale."""
+    expressions → runs at any scale.
+
+    Every derivation rule (chunking, partition assignment, planted
+    violations) is chosen to be exactly replicable in ANSI SQL so the
+    flagship validation report can be oracle-checked against DuckDB:
+    partition_id is ``key % 16``, not a hash, and ``plant_violations``
+    injects all four violation classes under fixed modular rules
+    (mirroring the reference's known-layout dedupe fixtures,
+    ``/root/reference/tests/test_hashio.py:130-287``)."""
+    i_id = F.col("doc_id")
     toks = F.split(F.col("text"), " ")
     n_chunks = F.greatest(F.lit(1), F.ceil(F.size(toks) / words_per_span)).cast("int")
+
+    key = (
+        F.when((i_id % IFF_DUP_MOD == 1) & (i_id > 0), i_id - 1).otherwise(i_id)
+        if plant_violations
+        else i_id
+    )
+
+    def chunk_text(i):
+        base = F.concat_ws(" ", F.slice(toks, i * words_per_span + 1, words_per_span))
+        if plant_violations:
+            return F.when((i_id % IFF_NULLTEXT_MOD == 0) & (i == 0), F.lit(None).cast("string")).otherwise(base)
+        return base
+
+    def chunk_offset(i):
+        base = (i * words_per_span).cast("int")
+        if plant_violations:
+            return F.when(i_id % IFF_OOO_MOD == 0, ((n_chunks - 1 - i) * words_per_span).cast("int")).otherwise(base)
+        return base
+
     text_spans = F.transform(
         F.sequence(F.lit(0), n_chunks - 1),
         lambda i: F.struct(
             F.lit("text").alias("kind"),
-            F.concat_ws(" ", F.slice(toks, i * words_per_span + 1, words_per_span)).alias("text"),
+            chunk_text(i).alias("text"),
             F.lit(None).cast("string").alias("media_ref"),
-            (i * words_per_span).cast("int").alias("offset"),
+            chunk_offset(i).alias("offset"),
         ),
     )
+    ref = F.concat(F.lit("asset-"), F.pmod(i_id, F.lit(n_assets)).cast("string"))
+    if plant_violations:
+        ref = F.when(i_id % IFF_DANGLE_MOD == 0, F.concat(F.lit("asset-missing-"), i_id.cast("string"))).otherwise(ref)
     media_span = F.array(
         F.struct(
             F.lit("image").alias("kind"),
             F.lit(None).cast("string").alias("text"),
-            F.concat(F.lit("asset-"), F.pmod(F.col("doc_id"), F.lit(n_assets)).cast("string")).alias("media_ref"),
+            ref.alias("media_ref"),
             (n_chunks * words_per_span).cast("int").alias("offset"),
         )
     )
-    spans = F.when(F.col("doc_id") % 3 == 0, F.concat(text_spans, media_span)).otherwise(text_spans)
-    return docs.select(
-        F.col("doc_id").cast("string").alias("doc_id"),
-        F.pmod(F.xxhash64(F.col("doc_id")), F.lit(16)).cast("int").alias("partition_id"),
+    spans = F.when(i_id % 3 == 0, F.concat(text_spans, media_span)).otherwise(text_spans)
+    # NB: two selects on purpose — aliasing the remapped key to "doc_id"
+    # in the SAME select would let Spark's lateral-column-alias resolution
+    # shadow the input doc_id inside the span expressions (observed on
+    # Spark 4: the planted-violation mods silently evaluated against the
+    # remapped key instead of the original id).
+    tmp = docs.select(
+        key.alias("_iff_key"),
         spans.alias("spans"),
         (F.col("n_chars") / 1000.0).alias("quality"),
+    )
+    return tmp.select(
+        F.col("_iff_key").cast("string").alias("doc_id"),
+        F.pmod(F.col("_iff_key"), F.lit(IFF_N_PARTITIONS)).cast("int").alias("partition_id"),
+        "spans",
+        "quality",
     )

@@ -105,12 +105,19 @@ def lang_id_expr(col: Column | str = "text", min_hits: int = 2) -> Column:
 
 
 def word_shingles_expr(col: Column | str = "text", k: int = 3) -> Column:
-    """k-word shingles in document order (for MinHash / Jaccard)."""
+    """k-word shingles in document order (for MinHash / Jaccard).
+
+    Docs with fewer than ``k`` tokens yield an EMPTY array.  The guard is
+    load-bearing: ``sequence(1, size-k+1)`` with a negative span evaluates
+    as a *descending* sequence in Spark ([1, 0]), and the inner
+    ``slice(toks, 0, k)`` then throws INVALID_PARAMETER_VALUE.START —
+    a whole-job crash on any real corpus containing short documents.
+    """
     toks = F.split(_c(col), r"\s+")
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
-    )
+    idx = F.when(
+        F.size(toks) >= k, F.sequence(F.lit(1), F.size(toks) - (k - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
 
 
 def rolling_fingerprint_expr(col: Column | str = "text", k: int = 3, n_keep: int = 4) -> Column:

@@ -57,15 +57,27 @@ def minhash_signatures(df: DataFrame, key_col: str, text_col: str, n_perm: int =
 
 
 def lsh_candidate_pairs(
-    sig_df: DataFrame, n_bands: int = 4, max_band_size: int = 64
+    sig_df: DataFrame, n_bands: int = 4, max_band_size: int = 64, n_perm: int = 16
 ) -> DataFrame:
     """Candidate near-dup pairs from banded LSH over a signature column.
 
     Bands hash ``rows_per_band`` consecutive signature entries; docs
     sharing any band value become a candidate pair.  ``max_band_size``
     drops degenerate bands (quadratic-blowup guard; log what was dropped
-    via the returned metrics if needed).
+    via the returned metrics if needed).  ``n_perm`` must match the
+    signature width from :func:`minhash_signatures` and divide evenly
+    into ``n_bands`` — banding a prefix of a wider signature would
+    silently degrade recall.
+
+    Shingle-less docs (signature entries all NULL) are dropped up front:
+    concat_ws skips NULLs, so they would otherwise all share one band
+    value per band_id and be emitted as bogus near-dup pairs of each
+    other.
     """
+    if n_perm % n_bands != 0:
+        raise ValueError(f"n_perm={n_perm} must be divisible by n_bands={n_bands}")
+    rows_per_band = n_perm // n_bands
+
     def band(i: int, rows_per_band: int) -> Column:
         return F.xxhash64(
             F.lit(i),
@@ -75,10 +87,7 @@ def lsh_candidate_pairs(
             ),
         )
 
-    # rows_per_band derived from the first row's signature width is not
-    # plan-expressible; require the caller's n_perm to divide evenly and
-    # read it from the schema-level contract (default 16/4 → 4 rows/band)
-    rows_per_band = 16 // n_bands
+    sig_df = sig_df.filter(F.col("sig")[0].isNotNull())
     bands = sig_df.select(
         "key",
         F.explode(

@@ -55,6 +55,7 @@ def validate(
     parity: bool = False,
     broadcast_catalog: bool = True,
     persist_violations: bool = True,
+    group_digest: str | None = None,
 ) -> ValidationResult:
     """Run the full stats + constraint + digest pass.
 
@@ -97,16 +98,23 @@ def validate(
         .withColumn("_n_ooo", n_bad_ooo)
     )
 
-    group_digest = (
+    # group digest tier: "composite" = reference-parity sorted fold
+    # (collect_list per group — exact but memory O(group)); "fold" = the
+    # scalable commutative sum-fold (map-side partials, constant memory).
+    # Default follows `parity`; pass group_digest="composite" to get the
+    # SQL-replicable composite over JVM-side per-doc digests.
+    if group_digest is None:
+        group_digest = "composite" if parity else "fold"
+    group_digest_expr = (
         composite_digest_expr("doc_id", "doc_digest", algo)
-        if parity
+        if group_digest == "composite"
         else agg_digest_xor("doc_id", "doc_digest")
     )
 
     stat_cols = ["doc_id", "n_spans"] + (["quality"] if "quality" in docs.columns else [])
     report = enriched.groupBy("partition_id").agg(
         *stat_aggs(stat_cols),
-        group_digest.alias("digest"),
+        group_digest_expr.alias("digest"),
         F.sum(F.size(F.filter(spans, lambda s: s["kind"] == "text"))).alias("text_spans"),
         F.sum(F.size(F.filter(spans, lambda s: s["kind"] != "text"))).alias("media_spans"),
         F.sum((F.col("_n_null_text") > 0).cast("long")).alias("null_text_violations"),

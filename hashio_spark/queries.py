@@ -211,13 +211,18 @@ GROUP BY 1 HAVING count(*) > 1
 
 def minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     """4-permutation MinHash over 3-word shingles (near-dup building block).
-    Permutation k = md5 prefixed with the permutation index."""
+    Permutation k = md5 prefixed with the permutation index.
+
+    Docs with <3 tokens get an empty shingle set → NULL signatures (the
+    unguarded ``sequence(1, size-2)`` is DESCENDING for short docs and
+    crashes ``slice``; DuckDB's ``generate_series(1,0)`` is empty, so the
+    guard also keeps the two engines in agreement)."""
     d = _t(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
-    shingles = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, 3)),
+    idx = F.when(F.size(toks) >= 3, F.sequence(F.lit(1), F.size(toks) - 2)).otherwise(
+        F.array().cast("array<int>")
     )
+    shingles = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, 3)))
     def _sig(prefix: str):
         # NB: the lambda must be unary — pyspark's transform() passes
         # (element, index) to binary lambdas, so a default-arg capture
@@ -254,7 +259,9 @@ def dedupe_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     explodes at sf≥0.1).  The cap is part of the operator contract and is
     replicated exactly in the oracle SQL."""
     MAX_BAND = 64
-    sig = minhash_signature(spark, sf_dir)
+    # shingle-less docs (<3 tokens) carry NULL signatures; drop them before
+    # banding or concat_ws's null-skip would co-band every short doc
+    sig = minhash_signature(spark, sf_dir).filter(F.col("sig0").isNotNull())
     b0 = sig.select("doc_id", F.concat_ws("_", F.lit("b0"), "sig0", "sig1").alias("band"))
     b1 = sig.select("doc_id", F.concat_ws("_", F.lit("b1"), "sig2", "sig3").alias("band"))
     bands = b0.unionByName(b1)
@@ -284,9 +291,9 @@ WITH s AS (
     list_min(list_transform(shingles, x -> md5(concat('3|', x)))) AS sig3
   FROM s
 ), bands AS (
-  SELECT doc_id, concat('b0', '_', sig0, '_', sig1) AS band FROM sig
+  SELECT doc_id, concat('b0', '_', sig0, '_', sig1) AS band FROM sig WHERE sig0 IS NOT NULL
   UNION ALL
-  SELECT doc_id, concat('b1', '_', sig2, '_', sig3) AS band FROM sig
+  SELECT doc_id, concat('b1', '_', sig2, '_', sig3) AS band FROM sig WHERE sig0 IS NOT NULL
 ), sizes AS (
   SELECT band, count(*) AS n FROM bands GROUP BY band
 ), ok AS (
@@ -550,21 +557,87 @@ SELECT query_id, rank, neighbor_id FROM (
 """
 
 
+def _neardup_planes(n_planes: int = 3, dim: int = 64) -> list[list[int]]:
+    """Deterministic integer hyperplane components in [-1e6, 1e6]:
+    md5-derived at plan-build time, embedded as literals in BOTH engines
+    (no cross-engine hash-function parity needed)."""
+    import hashlib
+
+    return [
+        [
+            int(hashlib.md5(f"hsplane|{p}|{d}".encode()).hexdigest()[:8], 16) % 2_000_001 - 1_000_000
+            for d in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+_NEARDUP_PLANES = _neardup_planes()
+
+
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (threshold chosen to yield a
-    small but non-empty result on the synthetic embeddings)."""
+    """Embedding-cosine near-duplicate pairs via random-hyperplane LSH:
+    bucket by the sign bits of ``n_planes`` hyperplane projections, then
+    exact cosine (>= 0.45) on same-bucket candidates only.
+
+    This is the scale path: the join volume is per-bucket, never the
+    O(n²) all-pairs cartesian.  Sign bits are computed on vectors
+    quantized to integers (floor(x*1000)) against integer plane
+    components, so every engine gets bit-identical buckets — integer
+    dot products stay < 2^53 and are exact in double arithmetic
+    regardless of summation order."""
     e = _emb_double(spark, sf_dir)
-    a = e.select(F.col("vec_id").alias("a_id"), F.col("ve").alias("a_ve"))
-    b = e.select(F.col("vec_id").alias("b_id"), F.col("ve").alias("b_ve"))
-    pairs = a.crossJoin(b).filter(F.col("a_id") < F.col("b_id"))
+    qv = F.transform(F.col("ve"), lambda x: F.floor(x * F.lit(1000.0)).cast("double"))
+    bucket = F.lit(0)
+    for p, plane in enumerate(_NEARDUP_PLANES):
+        arr = F.array(*[F.lit(float(w)) for w in plane])
+        dot = F.aggregate(F.zip_with(qv, arr, lambda x, w: x * w), F.lit(0.0), lambda a, v: a + v)
+        bucket = bucket + F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    bk = e.select("vec_id", "ve", bucket.alias("bucket"))
+    # multi-probe (1-bit flips) on the left side: a pair within Hamming
+    # distance 1 of each other's sketch becomes a candidate; each probe
+    # value is distinct so no pair is emitted twice
+    probes = F.array(
+        F.col("bucket"),
+        *[F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(len(_NEARDUP_PLANES))],
+    )
+    a = bk.select(
+        F.col("vec_id").alias("a_id"), F.col("ve").alias("a_ve"), F.explode(probes).alias("bucket")
+    )
+    b = bk.select(F.col("vec_id").alias("b_id"), F.col("ve").alias("b_ve"), "bucket")
     return (
-        pairs.select("a_id", "b_id", _cosine(F.col("a_ve"), F.col("b_ve")).alias("cos"))
+        a.join(b, "bucket")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", _cosine(F.col("a_ve"), F.col("b_ve")).alias("cos"))
         .filter(F.col("cos") >= 0.45)
         .select("a_id", "b_id")
     )
 
 
-EMBEDDING_NEARDUP_SQL = """
+def _neardup_sql() -> str:
+    def lit_arr(plane: list[int]) -> str:
+        return "[" + ", ".join(f"{w}.0" for w in plane) + "]"
+
+    bits = " + ".join(
+        f"(CASE WHEN list_dot_product(qv, {lit_arr(plane)}) > 0 THEN {1 << p} ELSE 0 END)"
+        for p, plane in enumerate(_NEARDUP_PLANES)
+    )
+    probe_list = "[bucket" + "".join(f", xor(bucket, {1 << p})" for p in range(len(_NEARDUP_PLANES))) + "]"
+    return f"""
+WITH e AS (SELECT vec_id, cast(embedding AS double[]) AS ve FROM embeddings),
+q AS (SELECT vec_id, ve, list_transform(ve, x -> floor(x * 1000.0)) AS qv FROM e),
+bk AS (SELECT vec_id, ve, {bits} AS bucket FROM q),
+pr AS (SELECT vec_id, ve, unnest({probe_list}) AS bucket FROM bk)
+SELECT a.vec_id AS a_id, b.vec_id AS b_id
+FROM pr a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE list_dot_product(a.ve, b.ve) / sqrt(list_dot_product(a.ve, a.ve) * list_dot_product(b.ve, b.ve)) >= 0.45
+"""
+
+
+EMBEDDING_NEARDUP_SQL = _neardup_sql()
+
+
+LEGACY_EMBEDDING_NEARDUP_SQL = """
 WITH e AS (SELECT vec_id, cast(embedding AS double[]) AS ve FROM embeddings)
 SELECT a.vec_id AS a_id, b.vec_id AS b_id
 FROM e a, e b
@@ -618,7 +691,7 @@ WITH g AS (
   FROM events
 )
 SELECT user_id,
-  sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END) AS n_sessions,
+  cast(sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END) AS bigint) AS n_sessions,
   count(*) AS n_events
 FROM g GROUP BY user_id
 """
@@ -649,12 +722,19 @@ def rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return (
         d.rollup("lang", "source")
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("chars"))
+        .agg(
+            # grouping_id disambiguates rollup-subtotal NULLs from genuine
+            # NULL data values (the driver hashes raw value tuples)
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chars").alias("chars"),
+        )
     )
 
 
 ROLLUP_COUNTS_SQL = """
-SELECT lang, source, count(*) AS n, sum(n_chars) AS chars
+SELECT lang, source, cast(GROUPING(lang, source) AS bigint) AS gid,
+  count(*) AS n, cast(sum(n_chars) AS bigint) AS chars
 FROM documents GROUP BY ROLLUP (lang, source)
 """
 
@@ -749,15 +829,79 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
 
 
 def validate_interleaved(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Flagship (non-SQL-expressible → rows-only check): full validation
-    pass over the interleaved table derived from the flat documents."""
+    """Flagship: full validation pass (stats + all four constraint classes
+    + per-doc md5 span digests + per-partition composite digest) over the
+    interleaved table derived from the flat documents, with planted
+    violations of every class.  The whole report — row counts, composite
+    digests, violation counts, pass flags — is oracle-checked against the
+    DuckDB replication below."""
     from hashio_spark.datagen import asset_catalog, interleave_from_flat
     from hashio_spark.plans.validate import validate
 
-    docs = interleave_from_flat(_t(spark, sf_dir, "documents"))
+    docs = interleave_from_flat(_t(spark, sf_dir, "documents"), plant_violations=True)
     cat = asset_catalog(spark, 50)
-    res = validate(docs, cat, algo="md5")
-    return res.report.select("partition_id", "row_count", "digest", "violation_count", "passed")
+    res = validate(docs, cat, algo="md5", group_digest="composite")
+    return res.report.select(
+        "partition_id",
+        F.col("row_count").cast("long").alias("row_count"),
+        "digest",
+        F.col("violation_count").cast("long").alias("violation_count"),
+        F.col("passed").cast("int").alias("passed"),
+    )
 
 
-REGISTRY["validate_interleaved"] = (validate_interleaved, None)
+VALIDATE_INTERLEAVED_SQL = """
+WITH base AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 41 = 1 AND doc_id > 0 THEN doc_id - 1 ELSE doc_id END AS key,
+    string_split(text, ' ') AS toks
+  FROM documents
+), d AS (
+  SELECT doc_id, key, cast(key AS varchar) AS doc_key,
+    cast(key % 16 AS int) AS partition_id, toks,
+    greatest(1, cast(ceil(len(toks) / 8.0) AS int)) AS n_chunks
+  FROM base
+), sp AS (
+  SELECT doc_id, doc_key, partition_id, n_chunks,
+    list_transform(generate_series(0, n_chunks - 1), i ->
+      concat('text|',
+        CASE WHEN doc_id % 43 = 0 AND i = 0 THEN '' ELSE array_to_string(toks[i*8+1:i*8+8], ' ') END,
+        '||',
+        cast(CASE WHEN doc_id % 47 = 0 THEN (n_chunks-1-i)*8 ELSE i*8 END AS varchar))) AS text_lines,
+    list_transform(generate_series(0, n_chunks - 1), i ->
+      CASE WHEN doc_id % 47 = 0 THEN (n_chunks-1-i)*8 ELSE i*8 END) AS offs0,
+    (doc_id % 3 = 0) AS has_media,
+    CASE WHEN doc_id % 30 = 0 THEN concat('asset-missing-', cast(doc_id AS varchar))
+         ELSE concat('asset-', cast(doc_id % 50 AS varchar)) END AS media_ref
+  FROM d
+), doc AS (
+  SELECT doc_key, partition_id,
+    md5(array_to_string(
+      CASE WHEN has_media
+           THEN list_append(text_lines, concat('image||', media_ref, '|', cast(n_chunks*8 AS varchar)))
+           ELSE text_lines END, chr(10))) AS digest,
+    CASE WHEN doc_id % 43 = 0 THEN 1 ELSE 0 END AS f_nulltext,
+    CASE WHEN len(offs) > 1 AND len(list_filter(generate_series(1, len(offs)-1), j -> offs[j] >= offs[j+1])) > 0
+         THEN 1 ELSE 0 END AS f_ooo,
+    CASE WHEN has_media AND doc_id % 30 = 0 THEN 1 ELSE 0 END AS f_dangle
+  FROM (SELECT *, CASE WHEN has_media THEN list_append(offs0, n_chunks*8) ELSE offs0 END AS offs FROM sp)
+), dups AS (
+  SELECT cast(key % 16 AS int) AS partition_id, cast(key AS varchar) AS doc_key
+  FROM d GROUP BY 1, 2 HAVING count(*) > 1
+), dupcnt AS (
+  SELECT partition_id, count(*) AS n_dup FROM dups GROUP BY 1
+), rep AS (
+  SELECT partition_id,
+    count(*) AS row_count,
+    md5(string_agg(concat(doc_key, ':', digest), chr(10) ORDER BY doc_key, digest)) AS digest,
+    cast(sum(f_nulltext) + sum(f_ooo) + sum(f_dangle) AS bigint) AS vc_part
+  FROM doc GROUP BY partition_id
+)
+SELECT r.partition_id, r.row_count, r.digest,
+  cast(r.vc_part + coalesce(dc.n_dup, 0) AS bigint) AS violation_count,
+  cast((r.vc_part + coalesce(dc.n_dup, 0)) = 0 AS int) AS passed
+FROM rep r LEFT JOIN dupcnt dc USING (partition_id)
+"""
+
+
+REGISTRY["validate_interleaved"] = (validate_interleaved, VALIDATE_INTERLEAVED_SQL)

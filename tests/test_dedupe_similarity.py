@@ -114,3 +114,56 @@ def test_multimodal_plumbing(spark):
     # rerun → identical (determinism)
     rows2 = extract_media_features(media).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+
+
+@pytest.fixture(scope="module")
+def short_docs(spark):
+    """Docs below the shingle width k=3 — the unguarded sequence(1, size-2)
+    is DESCENDING for these and crashed every shingle consumer (round-1
+    VERDICT #3)."""
+    rows = [
+        ("s0", ""),
+        ("s1", "one"),
+        ("s2", "two words"),
+        ("s3", "three words here"),
+        ("s4", "the quick brown fox jumps over the lazy dog"),
+        ("s5", "the quick brown fox jumps over the lazy dog"),
+    ]
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+
+def test_shingles_empty_for_short_docs(short_docs):
+    from hashio_spark.functions.text import word_shingles_expr
+
+    out = {r["doc_id"]: r["sh"] for r in
+           short_docs.select("doc_id", word_shingles_expr("text", 3).alias("sh")).collect()}
+    assert out["s0"] == [] and out["s1"] == [] and out["s2"] == []
+    assert out["s3"] == ["three words here"]
+    assert len(out["s4"]) == 7
+
+
+def test_minhash_lsh_survives_short_docs(short_docs):
+    sig = D.minhash_signatures(short_docs, "doc_id", "text", n_perm=16)
+    vals = {r["key"]: r["sig"] for r in sig.collect()}
+    # shingle-less docs carry null signatures
+    assert vals["s1"][0] is None and vals["s2"][0] is None
+    assert vals["s3"][0] is not None
+    pairs = {(r["key_a"], r["key_b"]) for r in D.lsh_candidate_pairs(sig, n_bands=4).collect()}
+    assert ("s4", "s5") in pairs
+    # null-signature docs must never co-band with each other
+    assert ("s0", "s1") not in pairs and ("s1", "s2") not in pairs
+
+
+def test_jaccard_fingerprint_simhash_survive_short_docs(short_docs):
+    from hashio_spark.functions.text import rolling_fingerprint_expr
+
+    cand = spark_pairs = short_docs.sparkSession.createDataFrame(
+        pd.DataFrame([("s1", "s2"), ("s4", "s5")], columns=["key_a", "key_b"]))
+    j = {(r["key_a"], r["key_b"]): r["jaccard"] for r in
+         D.ngram_jaccard_pairs(short_docs, cand, "doc_id", "text", threshold=0.0).collect()}
+    assert j[("s4", "s5")] == 1.0
+    assert j[("s1", "s2")] == 0.0  # empty shingle sets -> jaccard 0, no crash
+    fp = short_docs.select("doc_id", rolling_fingerprint_expr("text").alias("fp")).collect()
+    assert len(fp) == 6  # no crash on <k-token docs
+    sim = D.simhash64(short_docs, "doc_id", "text").collect()
+    assert len(sim) == 6

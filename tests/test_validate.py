@@ -121,3 +121,38 @@ def test_manifest_insert_or_ignore(spark, docs, catalog, tmp_path):
     assert store.read().filter(F.col("digest") == "deadbeef").count() == 0
     store.merge(tampered, prefer_new=True)   # MERGE-update: new wins
     assert store.read().filter(F.col("digest") == "deadbeef").count() == 8
+
+
+def test_interleave_from_flat_planted_violations(spark):
+    """Planted-violation classes in the SQL-replicable derivation carry
+    exact expected counts — and the plant conditions must key off the
+    ORIGINAL doc_id, not the remapped duplicate key (a lateral-column-
+    alias resolution hazard caught in round 2)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from hashio_spark.datagen import (
+        IFF_DUP_MOD, IFF_NULLTEXT_MOD, IFF_OOO_MOD, IFF_DANGLE_MOD,
+        asset_catalog, interleave_from_flat,
+    )
+    from hashio_spark.plans.validate import validate
+
+    n = 400
+    rows = [(i, " ".join(f"w{i}t{j}" for j in range(20)), 120) for i in range(n)]
+    flat = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text", "n_chars"]))
+    docs = interleave_from_flat(flat, plant_violations=True)
+    res = validate(docs, asset_catalog(spark, 50), algo="md5", group_digest="composite")
+    by_rule = {r["rule"]: r["n"] for r in
+               res.violations.groupBy("rule").agg(F.count(F.lit(1)).alias("n")).collect()}
+    exp_dup = len([i for i in range(n) if i % IFF_DUP_MOD == 1 and i > 0])
+    exp_null = len([i for i in range(n) if i % IFF_NULLTEXT_MOD == 0])
+    exp_ooo = len([i for i in range(n) if i % IFF_OOO_MOD == 0])  # 20 toks -> 3 chunks, always >=2
+    exp_dangle = len([i for i in range(n) if i % IFF_DANGLE_MOD == 0])
+    assert by_rule.get("duplicate_doc_id", 0) == exp_dup
+    assert by_rule.get("null_text_span", 0) == exp_null
+    assert by_rule.get("offset_out_of_order", 0) == exp_ooo
+    assert by_rule.get("dangling_media_ref", 0) == exp_dangle
+    rep = res.report.collect()
+    assert sum(r["row_count"] for r in rep) == n
+    assert sum(r["violation_count"] for r in rep) == exp_dup + exp_null + exp_ooo + exp_dangle
+    res.violations.unpersist()

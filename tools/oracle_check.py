@@ -66,6 +66,18 @@ def main(names):
             print(f"ok?  {name}: rows-only (no oracle), rows={len(s_rows)}")
             continue
         try:
+            # HUGEINT/DECIMAL oracle columns round-trip differently through
+            # pandas/Arrow on the driver side (uncast integer SUMs are the
+            # classic cause — round-1 sessionize/rollup mismatches): flag
+            # them even when the string-compare below would pass.
+            rel = con.sql(sql)
+            bad_types = [
+                f"{c}:{t}" for c, t in zip(rel.columns, map(str, rel.types))
+                if "HUGEINT" in str(t) or "DECIMAL" in str(t)
+            ]
+            if bad_types:
+                print(f"WARN {name}: oracle col types not driver-safe: {bad_types} — cast to BIGINT/DOUBLE")
+                failures += 1
             cur = con.execute(sql)
             d_cols = [c[0] for c in cur.description]
             d_rows = cur.fetchall()
