@@ -44,11 +44,16 @@ def cmd_validate(args) -> int:
             print(json.dumps({"status": "nothing-to-do", "run_id": args.run_id}))
             return 0
 
-    res = validate(docs, catalog, algo=args.algo, parity=args.parity)
+    checks = frozenset(args.checks.split(",")) if args.checks else frozenset({"shape", "uniqueness", "referential"})
+    res = validate(docs, catalog, algo=args.algo, parity=args.parity, checks=checks)
     if store is not None:
         store.merge(manifest_rows(res, args.run_id, args.algo, lineage=args.input))
     if args.violations_out:
         res.violations.write.mode("overwrite").parquet(args.violations_out)
+    if args.export:
+        from hashio_spark.sources.exporters import EXPORTERS
+
+        EXPORTERS.write(res.report, args.export, "partition_id", args.algo)
     summary = res.report.agg(
         F.sum("row_count").alias("docs"), F.sum("violation_count").alias("violations")
     ).first()
@@ -84,6 +89,20 @@ def cmd_diff(args) -> int:
     return 0
 
 
+def cmd_dedupe(args) -> int:
+    from hashio_spark.operators.verify import dedupe_manifests
+    from hashio_spark.sources.manifest_store import ManifestStore
+
+    spark = _spark(args)
+    store = ManifestStore(spark, args.manifest)
+    t = store.snapshot(args.run_id).select("partition_id", "digest")
+    s = store.snapshot(args.other_run).select("partition_id", "digest")
+    out = dedupe_manifests(t, s, key="partition_id", digest="digest")
+    for r in out.groupBy("category").agg(F.count(F.lit(1)).alias("n")).orderBy("category").collect():
+        print(f"{r['category']}: {r['n']}")
+    return 0
+
+
 def cmd_query(args) -> int:
     from hashio_spark.sources.manifest_store import ManifestStore
 
@@ -111,10 +130,13 @@ def main(argv: list[str] | None = None) -> int:
     v.add_argument("--catalog")
     v.add_argument("--manifest")
     v.add_argument("--run-id", default="run")
-    v.add_argument("--algo", default="xxh64")
+    v.add_argument("--algo", default="xxh64",
+                   help="null|md5|sha256|sha512|crc32|xxh64|xxh3_64|xxh3_128|c4|fast")
     v.add_argument("--parity", action="store_true")
     v.add_argument("--resume", action="store_true")
     v.add_argument("--violations-out")
+    v.add_argument("--checks", help="comma list of shape,uniqueness,referential (default all)")
+    v.add_argument("--export", help="also export the report manifest (.json/.txt/.mhl by extension)")
     v.set_defaults(fn=cmd_validate)
 
     for name, fn in (("verify", cmd_verify), ("diff", cmd_diff)):
@@ -123,6 +145,12 @@ def main(argv: list[str] | None = None) -> int:
         s.add_argument("--run-id", required=True)
         s.add_argument("--other-run", required=True)
         s.set_defaults(fn=fn)
+
+    d = sub.add_parser("dedupe", help="cross-manifest 4-category dedupe (dedupe_cache_gen analog)")
+    d.add_argument("--manifest", required=True)
+    d.add_argument("--run-id", required=True)
+    d.add_argument("--other-run", required=True)
+    d.set_defaults(fn=cmd_dedupe)
 
     q = sub.add_parser("query")
     q.add_argument("--manifest", required=True)

@@ -20,8 +20,9 @@ Generalizes the reference's two determinism primitives:
 Scale note: ``collect_list`` per group is the **parity** aggregate — it
 materializes the whole group, fine for per-partition manifests (≤ a few
 million keys/partition) but the 100 TB path should prefer
-:func:`agg_digest_xor`, an order-independent commutative fold (XOR of
-per-key 64-bit hashes) that needs no list materialization and no sort.
+:func:`agg_digest_xor`, an order-independent commutative fold (sum mod
+2^64 of per-key 64-bit hashes) that needs no list materialization and no
+sort.
 """
 
 from __future__ import annotations
@@ -74,7 +75,7 @@ def composite_digest_expr(key_col: Column | str, hash_col: Column | str, algo: s
 
 
 def agg_digest_xor(key_col: Column | str, hash_col: Column | str) -> Column:
-    """Order-independent scalable group digest: XOR-fold of
+    """Order-independent scalable group digest: sum-fold (mod 2^64) of
     ``xxhash64(key, hash)`` per row.
 
     Commutative + associative → map-side partial aggregation, no
@@ -82,13 +83,25 @@ def agg_digest_xor(key_col: Column | str, hash_col: Column | str) -> Column:
     digest to use for 10^12-row partition manifests; it is *not*
     byte-compatible with the reference (use :func:`composite_digest_expr`
     when parity matters).
+
+    The fold is ADDITION modulo 2^64, not XOR: an XOR fold is blind to
+    even multiplicities (a group containing {A, A} digests identically to
+    one without them — replacing a duplicated pair {A,A} with {B,B} would
+    change neither digest nor row_count).  Addition keeps every
+    multiplicity visible while staying commutative.  The sum runs in
+    ``decimal(38,0)`` (exact for up to ~10^19 rows/group; Spark 4's ANSI
+    mode would throw on a raw ``bigint`` sum overflow) and is reduced to
+    16 hex chars via two 32-bit halves.
     """
     k = F.col(key_col) if isinstance(key_col, str) else key_col
     h = F.col(hash_col) if isinstance(hash_col, str) else hash_col
     per_row = F.xxhash64(k.cast("string"), h.cast("string"))
-    # bit_xor aggregate is commutative: insensitive to row order and
-    # partitioning, which is what makes it shuffle-friendly at scale.
-    return F.lower(F.lpad(F.hex(F.bit_xor(per_row)), 16, "0"))
+    total = F.sum(per_row.cast("decimal(38,0)"))
+    # 2^64 exceeds a Java long — ship the modulus as a string literal
+    m = F.pmod(total, F.lit(str(2**64)).cast("decimal(38,0)"))
+    hi = F.floor(m / F.lit(2**32).cast("decimal(38,0)")).cast("long")
+    lo = F.pmod(m, F.lit(2**32).cast("decimal(38,0)")).cast("long")
+    return F.lower(F.concat(F.lpad(F.hex(hi), 8, "0"), F.lpad(F.hex(lo), 8, "0")))
 
 
 def doc_digest_expr(spans_col: Column | str = "spans", algo: str = "md5", parity: bool = False) -> Column:
@@ -110,7 +123,10 @@ def doc_digest_expr(spans_col: Column | str = "spans", algo: str = "md5", parity
         c = F.col(spans_col) if isinstance(spans_col, str) else spans_col
         return F.lower(F.lpad(F.hex(F.xxhash64(c)), 16, "0"))
     canon = canonical_span_expr(spans_col)
-    if parity:
+    # algos with no JVM builtin (xxh3, c4) always route through the Arrow
+    # parity kernels — a user validating an xxh3 manifest must not get
+    # ValueError from the builtin tier
+    if parity or algo in ("xxh3_64", "xxh3_128", "c4"):
         from hashio_spark.functions.digests import parity_udf
 
         return parity_udf(algo)(canon)

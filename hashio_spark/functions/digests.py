@@ -96,6 +96,14 @@ def _hexdigest_series(s: pd.Series, algo: str) -> pd.Series:
         return pd.Series([""] * len(s), index=s.index, dtype="object")
     if algo == "xxh64":
         return s.map(lambda v: xxh64_hexdigest(_to_bytes(v)))
+    if algo == "xxh3_64":
+        from hashio_spark.functions.xxh3 import xxh3_64_hexdigest
+
+        return s.map(lambda v: xxh3_64_hexdigest(_to_bytes(v)))
+    if algo == "xxh3_128":
+        from hashio_spark.functions.xxh3 import xxh3_128_hexdigest
+
+        return s.map(lambda v: xxh3_128_hexdigest(_to_bytes(v)))
     if algo == "crc32":
         return s.map(lambda v: format(zlib.crc32(_to_bytes(v)) & 0xFFFFFFFF, "08x"))
     if algo == "c4":
@@ -106,7 +114,7 @@ def _hexdigest_series(s: pd.Series, algo: str) -> pd.Series:
     raise ValueError(f"unknown parity algo: {algo}")
 
 
-_PARITY_ALGOS = ("null", "md5", "sha256", "sha512", "crc32", "xxh64", "c4")
+_PARITY_ALGOS = ("null", "md5", "sha256", "sha512", "crc32", "xxh64", "xxh3_64", "xxh3_128", "c4")
 _parity_udf_cache: dict[str, object] = {}
 
 

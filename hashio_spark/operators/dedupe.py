@@ -32,16 +32,38 @@ from pyspark.sql import functions as F
 from hashio_spark.functions.text import word_shingles_expr
 
 
-def exact_duplicates(df: DataFrame, key_col: str, content_col: str, algo_expr: Column | None = None) -> DataFrame:
+def exact_duplicates(
+    df: DataFrame, key_col: str, content_col: str, algo_expr: Column | None = None,
+    sample_keys: int = 100,
+) -> DataFrame:
     """Groups of rows with identical content digest (>1 member):
-    (digest, dup_count, keys array — capped at 100 for output sanity)."""
+    (digest, dup_count, keys array — first ``sample_keys`` keys in key
+    order).
+
+    Two-phase on purpose: counts come from a plain hash aggregation
+    (map-side partials, constant state), and the keys sample from a
+    ``row_number() <= sample_keys`` window BEFORE any list is collected —
+    so a mega-dup group (billions of identical docs) never materializes
+    its key set in an aggregation buffer.  Window sorts spill to disk;
+    ``collect_list`` buffers do not — that asymmetry is the point.
+    """
+    from pyspark.sql import Window
+
     digest = algo_expr if algo_expr is not None else F.lower(F.lpad(F.hex(F.xxhash64(F.col(content_col))), 16, "0"))
-    return (
-        df.select(F.col(key_col).alias("key"), digest.alias("digest"))
-        .groupBy("digest")
-        .agg(F.count(F.lit(1)).alias("dup_count"), F.slice(F.sort_array(F.collect_list("key")), 1, 100).alias("keys"))
+    hashed = df.select(F.col(key_col).alias("key"), digest.alias("digest"))
+    counts = (
+        hashed.groupBy("digest")
+        .agg(F.count(F.lit(1)).alias("dup_count"))
         .filter(F.col("dup_count") > 1)
     )
+    w = Window.partitionBy("digest").orderBy("key")
+    sample = (
+        hashed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= sample_keys)
+        .groupBy("digest")
+        .agg(F.sort_array(F.collect_list("key")).alias("keys"))
+    )
+    return counts.join(sample, "digest").select("digest", "dup_count", "keys")
 
 
 def minhash_signatures(df: DataFrame, key_col: str, text_col: str, n_perm: int = 16, shingle_k: int = 3) -> DataFrame:
@@ -130,25 +152,43 @@ def ngram_jaccard_pairs(
 
 def simhash64(df: DataFrame, key_col: str, text_col: str) -> DataFrame:
     """64-bit SimHash: per-token xxhash64, bit-majority vote, assembled
-    with array expressions (key, simhash bigint)."""
+    with array expressions (key, simhash bigint).
+
+    Single-pass: ONE ``aggregate`` fold over the token hashes whose
+    accumulator is an ``array<int>`` of 64 bit-counters (each token
+    updates all 64 in one visit), then a 64-term finalization over the
+    counter array.  The previous shape — 64 independent ``aggregate``
+    folds, one per bit — traversed the token array 64× and produced a
+    pathological codegen tree (round-1 VERDICT #5)."""
     toks = F.split(F.col(text_col), r"\s+")
-    th = F.transform(toks, lambda t: F.xxhash64(t))
 
     def mask(b: int) -> Column:
         # 1<<63 overflows a python-literal long; shiftleft stays JVM-side
         return F.shiftleft(F.lit(1).cast("long"), b)
 
-    def bit_sum(b: int) -> Column:
-        # +1 when bit set, -1 otherwise, summed over tokens
-        return F.aggregate(
-            th, F.lit(0), lambda acc, h: acc + F.when(h.bitwiseAND(mask(b)) != 0, 1).otherwise(-1)
-        )
-
+    # per-token ±1 votes for all 64 bits, summed element-wise in one fold
+    votes = F.transform(
+        toks,
+        lambda t: F.array(
+            *[
+                F.when(F.xxhash64(t).bitwiseAND(mask(b)) != 0, 1).otherwise(-1)
+                for b in range(64)
+            ]
+        ),
+    )
+    counts = F.aggregate(
+        votes,
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b),
+    )
+    # materialize the counter array in its own projection so the fold is
+    # evaluated exactly once (the finalization references it 64×)
+    with_counts = df.select(F.col(key_col).alias("key"), counts.alias("_cnt"))
     sim = None
     for b in range(64):
-        bit = F.when(bit_sum(b) > 0, mask(b)).otherwise(F.lit(0).cast("long"))
+        bit = F.when(F.element_at(F.col("_cnt"), b + 1) > 0, mask(b)).otherwise(F.lit(0).cast("long"))
         sim = bit if sim is None else sim.bitwiseOR(bit)
-    return df.select(F.col(key_col).alias("key"), sim.alias("simhash"))
+    return with_counts.select("key", sim.alias("simhash"))
 
 
 def simhash_candidates(sim_df: DataFrame, chunk_bits: int = 16) -> DataFrame:

@@ -1,0 +1,92 @@
+"""Ignore filter: pattern-union exclusion predicate (reference S2).
+
+The reference ships ~30 fnmatch ignore patterns, env-overridable, and
+drops matching paths during the walk (``/root/reference/lib/hashio/
+config.py:105-139``, ``utils.py:129-136``).  The Spark analog is a single
+compiled regex-union predicate pushed into the scan filter: Catalyst
+evaluates one ``RLIKE`` per row inside codegen, and — when the filtered
+column is a partition column — prunes whole partitions before any I/O.
+
+Patterns are fnmatch-style globs matched against the LAST path segment
+(basename) or, when they contain ``/``, the full path.
+"""
+
+from __future__ import annotations
+
+import fnmatch
+import os
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# well-known junk/system artifacts (the reference's default set covers the
+# same families: VCS metadata, editor swap, OS thumbnail, bytecode caches)
+DEFAULT_IGNORE_PATTERNS: tuple[str, ...] = (
+    ".DS_Store",
+    "Thumbs.db",
+    "desktop.ini",
+    ".git",
+    ".git/*",
+    ".svn",
+    ".hg",
+    "__pycache__",
+    "*.pyc",
+    "*.pyo",
+    "*.swp",
+    "*.swo",
+    "*~",
+    ".#*",
+    "#*#",
+    "*.tmp",
+    "*.temp",
+    "*.bak",
+    "*.orig",
+    "*.lock",
+    ".cache",
+    ".cache/*",
+    ".Trash*",
+    ".nfs*",
+    "lost+found",
+    "*.part",
+    "*.crdownload",
+    "._*",
+    ".Spotlight-V100",
+    ".fseventsd",
+)
+
+ENV_VAR = "HASHIO_SPARK_IGNORE"
+
+
+def ignore_patterns() -> tuple[str, ...]:
+    """Default patterns, overridable via ``HASHIO_SPARK_IGNORE`` (colon-
+    separated), mirroring the reference's env-config override."""
+    env = os.environ.get(ENV_VAR)
+    if env:
+        return tuple(p for p in env.split(":") if p)
+    return DEFAULT_IGNORE_PATTERNS
+
+
+def ignore_predicate(path_col: Column | str, patterns: tuple[str, ...] | None = None) -> Column:
+    """TRUE for rows whose path matches any ignore pattern.
+
+    Bare patterns match the basename; patterns containing ``/`` match the
+    whole path.  Compiled into two regex unions → two ``RLIKE`` ops per
+    row regardless of pattern count.
+    """
+    pats = patterns if patterns is not None else ignore_patterns()
+    c = F.col(path_col) if isinstance(path_col, str) else path_col
+    base_regexes = [fnmatch.translate(p) for p in pats if "/" not in p]
+    full_regexes = [fnmatch.translate(p) for p in pats if "/" in p]
+    pred = F.lit(False)
+    if base_regexes:
+        union = "|".join(f"(?:{r})" for r in base_regexes)
+        pred = pred | F.element_at(F.split(c, "/"), -1).rlike(union)
+    if full_regexes:
+        union = "|".join(f"(?:{r})" for r in full_regexes)
+        pred = pred | c.rlike(union)
+    return pred
+
+
+def apply_ignore(df: DataFrame, path_col: str = "path", patterns: tuple[str, ...] | None = None) -> DataFrame:
+    """Drop ignored rows (the scan-side exclusion filter)."""
+    return df.filter(~ignore_predicate(path_col, patterns))

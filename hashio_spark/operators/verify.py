@@ -87,6 +87,54 @@ def verify_manifests(
     return unmatched.select(key, digest).withColumn("status", F.lit(STATUS_VIOLATION))
 
 
+def dedupe_manifests(
+    target: DataFrame,
+    source: DataFrame,
+    key: str = "doc_id",
+    digest: str = "digest",
+    max_digest_group: int = 64,
+) -> DataFrame:
+    """Cross-manifest dedupe → (target_key, source_key, category), the
+    reference's four-category contract (``dedupe_cache_gen``,
+    ``/root/reference/lib/hashio/encoder.py:503-597``):
+
+    * ``dupe_same_key``  — keys match, digests match (dupe)
+    * ``changed``        — keys match, digests differ
+    * ``dupe_moved``     — digests match under different keys
+      (copy + rename/move)
+    * ``only_target`` / ``only_source`` — key present on one side only
+
+    Two equi-joins: full-outer on key (the reference's path loop) plus an
+    inner join on digest for the moved-pair rescue.  ``max_digest_group``
+    caps pathological digest groups (the empty file, boilerplate) exactly
+    like the LSH band cap — without it a digest shared by c keys emits
+    c² moved pairs.
+    """
+    t = target.select(F.col(key).alias("target_key"), F.col(digest).alias("t_digest"))
+    s = source.select(F.col(key).alias("source_key"), F.col(digest).alias("s_digest"))
+
+    by_key = t.join(s, t["target_key"] == s["source_key"], "full_outer").select(
+        "target_key",
+        "source_key",
+        F.when(F.col("t_digest").isNull(), "only_source")
+        .when(F.col("s_digest").isNull(), "only_target")
+        .when(F.col("t_digest") == F.col("s_digest"), "dupe_same_key")
+        .otherwise("changed")
+        .alias("category"),
+    )
+
+    t_sizes = t.groupBy("t_digest").agg(F.count(F.lit(1)).alias("_tn"))
+    s_sizes = s.groupBy("s_digest").agg(F.count(F.lit(1)).alias("_sn"))
+    t_ok = t.join(t_sizes.filter(F.col("_tn") <= max_digest_group), "t_digest").drop("_tn")
+    s_ok = s.join(s_sizes.filter(F.col("_sn") <= max_digest_group), "s_digest").drop("_sn")
+    moved = (
+        t_ok.join(s_ok, t_ok["t_digest"] == s_ok["s_digest"])
+        .filter(F.col("target_key") != F.col("source_key"))
+        .select("target_key", "source_key", F.lit("dupe_moved").alias("category"))
+    )
+    return by_key.unionByName(moved)
+
+
 def snapshot_diff(
     snap1: DataFrame, snap2: DataFrame, key: str = "doc_id", digest: str = "digest"
 ) -> DataFrame:

@@ -16,7 +16,7 @@ Scale properties:
   parity digests via Arrow pandas UDFs only when requested);
 * the report aggregation is algebraic → map-side partials, network
   O(n_partitions);
-* the default group digest is the commutative XOR fold
+* the default group digest is the commutative sum-mod-2^64 fold
   (:func:`hashio_spark.functions.canonical.agg_digest_xor`) — no
   collect_list, no skew from oversized span arrays; ``parity=True``
   switches to the reference-parity sorted composite digest;
@@ -56,6 +56,7 @@ def validate(
     broadcast_catalog: bool = True,
     persist_violations: bool = True,
     group_digest: str | None = None,
+    checks: frozenset[str] = frozenset({"shape", "uniqueness", "referential"}),
 ) -> ValidationResult:
     """Run the full stats + constraint + digest pass.
 
@@ -74,28 +75,39 @@ def validate(
     # projection so the table is decoded exactly once; uniqueness and
     # referential checks run on column-pruned scans (doc_id-only /
     # media_ref-only) plus their own small shuffles.
+    # shape flags fold over PRIMITIVE projections of the spans array —
+    # slicing/zipping the struct array itself copies every span's full
+    # text payload per row (measured ~1.8× the whole pass cost at 16M
+    # docs); the offsets int-array and a bool-array are ~free to copy.
     spans = F.col("spans")
-    n_bad_null = F.size(F.filter(spans, lambda s: (s["kind"] == "text") & s["text"].isNull()))
-    shifted = F.slice(spans, 2, F.greatest(F.size(spans) - 1, F.lit(0)))
+    n_bad_null = F.size(
+        F.filter(
+            F.transform(spans, lambda s: (s["kind"] == "text") & s["text"].isNull()),
+            lambda bad: bad,
+        )
+    )
+    offs = F.transform(spans, lambda s: s["offset"])
+    n_off = F.size(offs)
     n_bad_ooo = F.when(
-        F.size(spans) > 1,
+        n_off > 1,
         F.size(
             F.filter(
                 F.zip_with(
-                    F.slice(spans, 1, F.greatest(F.size(spans) - 1, F.lit(0))),
-                    shifted,
-                    lambda a, b: a["offset"] >= b["offset"],
+                    F.slice(offs, 1, F.greatest(n_off - 1, F.lit(0))),
+                    F.slice(offs, 2, F.greatest(n_off - 1, F.lit(0))),
+                    lambda a, b: a >= b,
                 ),
                 lambda x: x,
             )
         ),
     ).otherwise(F.lit(0))
 
+    do_shape = "shape" in checks
     enriched = (
         docs.withColumn("doc_digest", doc_digest_expr("spans", algo, parity=parity))
         .withColumn("n_spans", F.size("spans"))
-        .withColumn("_n_null_text", n_bad_null)
-        .withColumn("_n_ooo", n_bad_ooo)
+        .withColumn("_n_null_text", n_bad_null if do_shape else F.lit(0))
+        .withColumn("_n_ooo", n_bad_ooo if do_shape else F.lit(0))
     )
 
     # group digest tier: "composite" = reference-parity sorted fold
@@ -115,8 +127,8 @@ def validate(
     report = enriched.groupBy("partition_id").agg(
         *stat_aggs(stat_cols),
         group_digest_expr.alias("digest"),
-        F.sum(F.size(F.filter(spans, lambda s: s["kind"] == "text"))).alias("text_spans"),
-        F.sum(F.size(F.filter(spans, lambda s: s["kind"] != "text"))).alias("media_spans"),
+        F.sum(F.size(F.filter(F.transform(spans, lambda s: s["kind"] == "text"), lambda t: t))).alias("text_spans"),
+        F.sum(F.size(F.filter(F.transform(spans, lambda s: s["kind"] != "text"), lambda t: t))).alias("media_spans"),
         F.sum((F.col("_n_null_text") > 0).cast("long")).alias("null_text_violations"),
         F.sum((F.col("_n_ooo") > 0).cast("long")).alias("offset_violations"),
     )
@@ -142,9 +154,18 @@ def validate(
 
     from hashio_spark.operators.constraints import dangling_refs, duplicate_keys
 
-    violations = shape_viol.unionByName(duplicate_keys(docs))
-    if catalog is not None:
-        violations = violations.unionByName(dangling_refs(docs, catalog, broadcast_catalog))
+    parts = []
+    if do_shape:
+        parts.append(shape_viol)
+    if "uniqueness" in checks:
+        parts.append(duplicate_keys(docs))
+    if "referential" in checks and catalog is not None:
+        parts.append(dangling_refs(docs, catalog, broadcast_catalog))
+    if not parts:
+        parts = [shape_viol.filter(F.lit(False))]
+    violations = parts[0]
+    for p in parts[1:]:
+        violations = violations.unionByName(p)
     if persist_violations:
         violations = violations.persist()
 

@@ -372,6 +372,55 @@ WHERE (CASE WHEN s1.digest IS NULL THEN 'added'
 """
 
 
+def dedupe_manifests_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-manifest 4-category dedupe (reference ``dedupe_cache_gen``):
+    target tampers digests for %13 docs and drops %23 docs; source renames
+    %19 keys (+1000000) and drops %17 docs — exercising every category."""
+    d = _t(spark, sf_dir, "documents")
+    target = d.filter(F.col("doc_id") % 23 != 0).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 13 == 0, digest_expr(F.reverse(F.col("text")), "md5"))
+        .otherwise(digest_expr("text", "md5"))
+        .alias("digest"),
+    )
+    source = d.filter(F.col("doc_id") % 17 != 0).select(
+        F.when(F.col("doc_id") % 19 == 0, F.col("doc_id") + 1000000)
+        .otherwise(F.col("doc_id"))
+        .alias("doc_id"),
+        digest_expr("text", "md5").alias("digest"),
+    )
+    return verify_ops.dedupe_manifests(target, source, key="doc_id", digest="digest")
+
+
+DEDUPE_MANIFESTS_SQL = """
+WITH t AS (
+  SELECT doc_id AS target_key,
+    CASE WHEN doc_id % 13 = 0 THEN md5(reverse(text)) ELSE md5(text) END AS t_digest
+  FROM documents WHERE doc_id % 23 <> 0
+), s AS (
+  SELECT CASE WHEN doc_id % 19 = 0 THEN doc_id + 1000000 ELSE doc_id END AS source_key,
+    md5(text) AS s_digest
+  FROM documents WHERE doc_id % 17 <> 0
+), by_key AS (
+  SELECT t.target_key, s.source_key,
+    CASE WHEN t.t_digest IS NULL THEN 'only_source'
+         WHEN s.s_digest IS NULL THEN 'only_target'
+         WHEN t.t_digest = s.s_digest THEN 'dupe_same_key'
+         ELSE 'changed' END AS category
+  FROM t FULL OUTER JOIN s ON t.target_key = s.source_key
+), tsz AS (SELECT t_digest, count(*) AS n FROM t GROUP BY 1),
+ssz AS (SELECT s_digest, count(*) AS n FROM s GROUP BY 1),
+tok AS (SELECT t.* FROM t JOIN tsz USING (t_digest) WHERE tsz.n <= 64),
+sok AS (SELECT s.* FROM s JOIN ssz USING (s_digest) WHERE ssz.n <= 64),
+moved AS (
+  SELECT tok.target_key, sok.source_key, 'dupe_moved' AS category
+  FROM tok JOIN sok ON tok.t_digest = sok.s_digest
+  WHERE tok.target_key <> sok.source_key
+)
+SELECT * FROM by_key UNION ALL SELECT * FROM moved
+"""
+
+
 # ---------------------------------------------------------------------------
 # Drift (north-rule KS/PSI)
 # ---------------------------------------------------------------------------
@@ -786,11 +835,61 @@ FROM f
 
 
 def simhash64_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash fingerprints (no tractable SQL oracle — rows-only check;
-    correctness covered by tests/test_dedupe_similarity.py)."""
+    """SimHash fingerprints over native xxhash64 token hashes (xxhash64 is
+    not SQL-replicable — rows-only check; behavior covered by
+    tests/test_dedupe_similarity.py and the oracle-checked md5 variant
+    below)."""
     from hashio_spark.operators.dedupe import simhash64
 
     return simhash64(_t(spark, sf_dir, "documents"), "doc_id", "text").withColumnRenamed("key", "doc_id")
+
+
+_SIMHASH_MD5_BITS = 60  # 15 hex chars of md5 → fits a signed 64-bit int
+
+
+def simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked SimHash: token hash = first 15 hex chars of md5
+    parsed as int (engine-portable), single-pass 60-bit majority vote —
+    same plan shape as the production xxhash64 operator."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+
+    def mask(b: int):
+        return F.shiftleft(F.lit(1).cast("long"), b)
+
+    def th(t):
+        return F.conv(F.substring(F.md5(t.cast("binary")), 1, 15), 16, 10).cast("long")
+
+    votes = F.transform(
+        toks,
+        lambda t: F.array(
+            *[F.when(th(t).bitwiseAND(mask(b)) != 0, 1).otherwise(-1) for b in range(_SIMHASH_MD5_BITS)]
+        ),
+    )
+    counts = F.aggregate(
+        votes,
+        F.array_repeat(F.lit(0), _SIMHASH_MD5_BITS),
+        lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b),
+    )
+    with_counts = d.select("doc_id", counts.alias("_cnt"))
+    sim = None
+    for b in range(_SIMHASH_MD5_BITS):
+        bit = F.when(F.element_at(F.col("_cnt"), b + 1) > 0, mask(b)).otherwise(F.lit(0).cast("long"))
+        sim = bit if sim is None else sim.bitwiseOR(bit)
+    return with_counts.select("doc_id", sim.alias("simhash"))
+
+
+SIMHASH_MD5_SQL = f"""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+h AS (SELECT doc_id, CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) AS th FROM tok),
+bits AS (
+  SELECT doc_id, b, sum(CASE WHEN (th >> b) & 1 = 1 THEN 1 ELSE -1 END) AS c
+  FROM h, (SELECT unnest(generate_series(0, {_SIMHASH_MD5_BITS - 1})) AS b)
+  GROUP BY 1, 2
+)
+SELECT doc_id, cast(sum(CASE WHEN c > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS bigint) AS simhash
+FROM bits GROUP BY doc_id
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -810,6 +909,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "minhash_signature": (minhash_signature, MINHASH_SIGNATURE_SQL),
     "dedupe_minhash_lsh": (dedupe_minhash_lsh, DEDUPE_MINHASH_LSH_SQL),
     "verify_manifest": (verify_manifest_q, VERIFY_MANIFEST_SQL),
+    "dedupe_manifests": (dedupe_manifests_q, DEDUPE_MANIFESTS_SQL),
     "snapshot_diff": (snapshot_diff_q, SNAPSHOT_DIFF_SQL),
     "drift_psi": (drift_psi, DRIFT_PSI_SQL),
     "drift_ks": (drift_ks, DRIFT_KS_SQL),
@@ -825,6 +925,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dataset_digest": (dataset_digest_q, DATASET_DIGEST_SQL),
     "quality_score": (quality_score, QUALITY_SCORE_SQL),
     "simhash64": (simhash64_q, None),
+    "simhash_md5": (simhash_md5, SIMHASH_MD5_SQL),
 }
 
 

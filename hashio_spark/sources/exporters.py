@@ -146,3 +146,63 @@ def txt_lines_df(df: DataFrame, key_col: str, digest_col: str = "digest") -> Dat
     """Distributed TXT formatting — use ``.write.text(...)`` on the result
     for bulk export (the scale path; ordering is per-partition)."""
     return df.select(F.concat_ws(" ", F.col(digest_col), F.col(key_col).cast("string")).alias("value"))
+
+
+# ---------------------------------------------------------------------------
+# Exporter registry (reference S9: get_caching_class / extension dispatch,
+# /root/reference/lib/hashio/exporter.py:367-397) — a new sink plugs in the
+# same way a new digest algo does.
+# ---------------------------------------------------------------------------
+
+class ExporterRegistry:
+    """Extension → (writer, reader) dispatch.
+
+    ``writer(df, path, key_col, algo, digest_col)`` and
+    ``reader(path, algo) -> dict``; registered like encoders so callers
+    resolve a sink from the output filename alone."""
+
+    def __init__(self) -> None:
+        self._by_ext: dict[str, tuple] = {}
+
+    def register(self, ext: str, writer, reader) -> None:
+        self._by_ext[ext.lower().lstrip(".")] = (writer, reader)
+
+    def for_path(self, path: str) -> tuple:
+        ext = path.rsplit(".", 1)[-1].lower() if "." in path else ""
+        if ext not in self._by_ext:
+            raise ValueError(f"no exporter registered for extension: .{ext or '<none>'}")
+        return self._by_ext[ext]
+
+    def write(self, df: DataFrame, path: str, key_col: str, algo: str = "md5",
+              digest_col: str = "digest") -> None:
+        writer, _ = self.for_path(path)
+        writer(df, path, key_col, algo, digest_col)
+
+    def read(self, path: str, algo: str = "md5") -> dict:
+        _, reader = self.for_path(path)
+        return reader(path, algo)
+
+    def extensions(self) -> tuple[str, ...]:
+        return tuple(sorted(self._by_ext))
+
+
+def _w_json(df, path, key_col, algo, digest_col):
+    write_hash_json(df, path, key_col, algo, digest_col)
+
+
+def _r_json(path, algo):
+    return read_hash_json(path)
+
+
+def _w_txt(df, path, key_col, algo, digest_col):
+    write_txt(df, path, key_col, digest_col)
+
+
+def _w_mhl(df, path, key_col, algo, digest_col):
+    write_mhl(df, path, key_col, digest_col, algo)
+
+
+EXPORTERS = ExporterRegistry()
+EXPORTERS.register("json", _w_json, _r_json)
+EXPORTERS.register("txt", _w_txt, read_txt)
+EXPORTERS.register("mhl", _w_mhl, read_mhl)

@@ -61,7 +61,9 @@ class ManifestStore:
         self.path = path
 
     def read(self) -> DataFrame:
-        if not os.path.exists(self.path):
+        import glob
+
+        if not os.path.exists(self.path) or not glob.glob(os.path.join(self.path, "run_id=*")):
             return self.spark.createDataFrame([], MANIFEST_SCHEMA)
         return self.spark.read.schema(MANIFEST_SCHEMA).parquet(self.path)
 
@@ -71,21 +73,52 @@ class ManifestStore:
         ``prefer_new=False`` reproduces ``INSERT OR IGNORE``
         (existing row wins, ``cache.py:313-319``); ``True`` is
         ``MERGE ... WHEN MATCHED THEN UPDATE`` semantics.
+
+        Scale properties (the jar-less analog of Iceberg ``MERGE INTO``):
+
+        * **partition-scoped** — the store is laid out as
+          ``run_id=<id>/`` parquet partitions and a merge rewrites ONLY
+          the run_ids present in ``rows``; untouched run partitions are
+          not read, not rewritten, byte-identical after the merge.  Merge
+          cost is proportional to the touched slice, so the per-epoch
+          streaming checkpoint no longer rewrites the whole manifest.
+        * **deterministic winners** — the upsert resolves via
+          ``max_by(struct(...), struct(priority, updated_at))``; the old
+          union+dropDuplicates shape kept an arbitrary row per key
+          (non-deterministic after shuffle), which could silently keep a
+          stale digest on exactly-once re-delivery.
         """
         rows = rows.select(*[f.name for f in MANIFEST_SCHEMA.fields])
-        existing = self.read()
-        ordered = rows.unionByName(existing) if prefer_new else existing.unionByName(rows)
-        merged = ordered.dropDuplicates(MANIFEST_KEY)
-        # write to a tmp dir then swap: the source parquet must not be
-        # overwritten while it is still the read side of this plan
-        tmp = self.path + ".tmp"
-        merged.write.mode("overwrite").parquet(tmp)
-        final = self.path
-        if os.path.exists(final):
-            import shutil
+        run_ids = [r["run_id"] for r in rows.select("run_id").distinct().collect()]
+        if not run_ids:
+            return
+        existing = self.read().filter(F.col("run_id").isin(run_ids))
+        new_t = rows.withColumn("_pri", F.lit(1 if prefer_new else 0))
+        old_t = existing.withColumn("_pri", F.lit(0 if prefer_new else 1))
+        data_cols = [f.name for f in MANIFEST_SCHEMA.fields if f.name not in MANIFEST_KEY]
+        merged = (
+            new_t.unionByName(old_t)
+            .groupBy(*MANIFEST_KEY)
+            .agg(F.max_by(F.struct(*data_cols), F.struct("_pri", "updated_at")).alias("_row"))
+            .select(*MANIFEST_KEY, *[F.col(f"_row.{c}").alias(c) for c in data_cols])
+            .select(*[f.name for f in MANIFEST_SCHEMA.fields])
+        )
+        # write the merged slice to a tmp dir, then swap ONLY the touched
+        # run_id partition dirs (the read side must not be overwritten
+        # while it is still an input of this plan)
+        import shutil
 
-            shutil.rmtree(final)
-        os.rename(tmp, final)
+        tmp = self.path + ".tmp-merge"
+        merged.write.mode("overwrite").partitionBy("run_id").parquet(tmp)
+        os.makedirs(self.path, exist_ok=True)
+        for rid in run_ids:
+            src = os.path.join(tmp, f"run_id={rid}")
+            dst = os.path.join(self.path, f"run_id={rid}")
+            if os.path.exists(dst):
+                shutil.rmtree(dst)
+            if os.path.exists(src):
+                os.rename(src, dst)
+        shutil.rmtree(tmp, ignore_errors=True)
 
     def completed_partitions(self, run_id: str, algo: str) -> DataFrame:
         return (

@@ -98,3 +98,19 @@ def test_doc_digest_parity_udf_path(spark):
     df = spark.createDataFrame([("d", [("text", "hello", None, 0)])], schema)
     got = df.select(doc_digest_expr("spans", "xxh64", parity=True).alias("d")).first()["d"]
     assert got == parity_hexdigest(b"text|hello||0", "xxh64")
+
+
+def test_agg_digest_fold_sees_even_multiplicities(spark):
+    """The scalable group fold must NOT be blind to even multiplicities
+    (an XOR fold digests {x, A, A} the same as {x} — round-2 fix)."""
+    import pandas as pd
+
+    base = pd.DataFrame({"k": ["x"], "h": ["h0"]})
+    dup2 = pd.DataFrame({"k": ["x", "a", "a"], "h": ["h0", "h1", "h1"]})
+    swap = pd.DataFrame({"k": ["x", "b", "b"], "h": ["h0", "h2", "h2"]})
+    d_base = spark.createDataFrame(base).agg(agg_digest_xor("k", "h").alias("d")).first()["d"]
+    d_dup2 = spark.createDataFrame(dup2).agg(agg_digest_xor("k", "h").alias("d")).first()["d"]
+    d_swap = spark.createDataFrame(swap).agg(agg_digest_xor("k", "h").alias("d")).first()["d"]
+    assert d_base != d_dup2
+    assert d_dup2 != d_swap
+    assert all(len(d) == 16 for d in (d_base, d_dup2, d_swap))

@@ -16,11 +16,20 @@ import types
 import pytest
 
 from hashio_spark.functions.xxh import xxh64_hexdigest, xxh64_intdigest
+from hashio_spark.functions.xxh3 import (
+    xxh3_64_hexdigest,
+    xxh3_64_intdigest,
+    xxh3_128_hexdigest,
+    xxh3_128_intdigest,
+)
 
 REF_LIB = "/root/reference/lib"
 
 
-class _ShimXXH64:
+class _ShimBase:
+    _hex = None
+    _int = None
+
     def __init__(self, data: bytes = b"", seed: int = 0):
         self._buf = bytearray(data)
         self._seed = seed
@@ -30,21 +39,39 @@ class _ShimXXH64:
         return self
 
     def hexdigest(self) -> str:
-        return xxh64_hexdigest(bytes(self._buf), self._seed)
+        return type(self)._hex(bytes(self._buf), self._seed)
 
     def intdigest(self) -> int:
-        return xxh64_intdigest(bytes(self._buf), self._seed)
+        return type(self)._int(bytes(self._buf), self._seed)
 
     def reset(self):
         self._buf = bytearray()
+
+
+class _ShimXXH64(_ShimBase):
+    _hex = staticmethod(xxh64_hexdigest)
+    _int = staticmethod(xxh64_intdigest)
+
+
+class _ShimXXH3_64(_ShimBase):
+    _hex = staticmethod(xxh3_64_hexdigest)
+    _int = staticmethod(xxh3_64_intdigest)
+
+
+class _ShimXXH3_128(_ShimBase):
+    _hex = staticmethod(xxh3_128_hexdigest)
+
+    def intdigest(self) -> int:
+        lo, hi = xxh3_128_intdigest(bytes(self._buf), self._seed)
+        return (hi << 64) | lo
 
 
 @pytest.fixture(scope="module")
 def hashio_ref():
     shim = types.ModuleType("xxhash")
     shim.xxh64 = _ShimXXH64
-    shim.xxh3_64 = None  # never instantiated by the paths we exercise
-    shim.xxh3_128 = None
+    shim.xxh3_64 = _ShimXXH3_64
+    shim.xxh3_128 = _ShimXXH3_128
     shim.VERSION = "shim"
     sys.modules.setdefault("xxhash", shim)
     sys.path.insert(0, REF_LIB)
@@ -67,6 +94,8 @@ def test_reference_golden_value(hashio_ref):
     ("sha512", "SHA512Encoder"),
     ("crc32", "CRC32Encoder"),
     ("xxh64", "XXH64Encoder"),
+    ("xxh3_64", "XXH3_64Encoder"),
+    ("xxh3_128", "XXH3_128Encoder"),
     ("c4", "C4Encoder"),
 ])
 def test_scalar_digests_match_reference(hashio_ref, algo, cls):

@@ -56,3 +56,63 @@ def test_violation_rate_stream(spark, tmp_path):
     out = spark.sql("select * from vr").collect()
     assert len(out) == 1
     assert out[0]["docs"] == 300 and out[0]["violating_docs"] > 0
+
+
+def test_merge_is_partition_scoped(spark, tmp_path):
+    """Merging run B must not rewrite run A's partition: byte-identical
+    files afterwards (merge cost proportional to the touched slice)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hashio_spark.sources.manifest_store import ManifestStore
+
+    store = ManifestStore(spark, str(tmp_path / "m"))
+
+    def rows(run_id, digest):
+        return spark.createDataFrame(
+            [(run_id, p, "md5", digest, 10, {"k": "v"}, "", None) for p in range(4)],
+            "run_id string, partition_id int, algo string, digest string, row_count long, "
+            "stats map<string,string>, lineage string, updated_at timestamp",
+        ).withColumn("updated_at", F.current_timestamp())
+
+    store.merge(rows("runA", "aaaa"))
+    a_dir = os.path.join(store.path, "run_id=runA")
+    before = {}
+    for f in sorted(os.listdir(a_dir)):
+        if f.endswith(".parquet"):
+            with open(os.path.join(a_dir, f), "rb") as fh:
+                before[f] = fh.read()
+    assert before
+
+    store.merge(rows("runB", "bbbb"))
+    after = {}
+    for f in sorted(os.listdir(a_dir)):
+        if f.endswith(".parquet"):
+            with open(os.path.join(a_dir, f), "rb") as fh:
+                after[f] = fh.read()
+    assert before == after  # runA untouched, byte-identical
+    assert store.read().count() == 8
+
+
+def test_merge_prefer_new_is_deterministic(spark, tmp_path):
+    """prefer_new keeps the NEW digest on re-merge (the old
+    union+dropDuplicates kept an arbitrary row per key)."""
+    from pyspark.sql import functions as F
+
+    from hashio_spark.sources.manifest_store import ManifestStore
+
+    store = ManifestStore(spark, str(tmp_path / "m2"))
+
+    def one(digest, ts):
+        return spark.createDataFrame(
+            [("r", 0, "md5", digest, 1, {}, "", None)],
+            "run_id string, partition_id int, algo string, digest string, row_count long, "
+            "stats map<string,string>, lineage string, updated_at timestamp",
+        ).withColumn("updated_at", F.lit(ts).cast("timestamp"))
+
+    store.merge(one("old", "2024-01-01 00:00:00"))
+    store.merge(one("new", "2024-01-02 00:00:00"), prefer_new=True)
+    assert store.read().collect()[0]["digest"] == "new"
+    store.merge(one("ignored", "2024-01-03 00:00:00"), prefer_new=False)
+    assert store.read().collect()[0]["digest"] == "new"

@@ -119,3 +119,21 @@ def test_txt_roundtrip(spark, tmp_path):
     write_txt(df, str(p), key_col="path")
     assert p.read_text() == "aa x\nbb y z\n"
     assert read_txt(str(p), "xxh64") == {"x": {"xxh64": "aa"}, "y z": {"xxh64": "bb"}}
+
+
+def test_exporter_registry_dispatch(spark, tmp_path):
+    import pandas as pd
+
+    from hashio_spark.sources.exporters import EXPORTERS
+
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": ["a", "b"], "digest": ["d1", "d2"]}))
+    assert EXPORTERS.extensions() == ("json", "mhl", "txt")
+    for ext in ("json", "txt", "mhl"):
+        p = str(tmp_path / f"m.{ext}")
+        EXPORTERS.write(df, p, "doc_id", "md5")
+        out = EXPORTERS.read(p, "md5")
+        assert set(out) == {"a", "b"}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no exporter registered"):
+        EXPORTERS.write(df, str(tmp_path / "m.nope"), "doc_id")

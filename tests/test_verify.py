@@ -79,3 +79,31 @@ def test_snapshot_diff_no_false_add_remove_pairs(spark, docs):
     m = _digested(docs)
     out = snapshot_diff(m, m)
     assert out.count() == 0
+
+
+def test_dedupe_manifests_four_categories(spark):
+    """Reference dedupe_cache_gen 4-category contract
+    (encoder.py:503-597) on a tiny planted layout."""
+    import pandas as pd
+
+    from hashio_spark.operators.verify import dedupe_manifests
+
+    target = spark.createDataFrame(pd.DataFrame(
+        [("a", "h1"), ("b", "h2"), ("c", "h3"), ("e", "h5")],
+        columns=["doc_id", "digest"]))
+    source = spark.createDataFrame(pd.DataFrame(
+        [("a", "h1"),        # same key, same digest  -> dupe_same_key
+         ("b", "hX"),        # same key, diff digest  -> changed
+         ("c2", "h3"),       # renamed copy of c      -> only_source + dupe_moved
+         ("d", "h9")],       # new                    -> only_source
+        columns=["doc_id", "digest"]))
+    out = {(r["target_key"], r["source_key"], r["category"])
+           for r in dedupe_manifests(target, source).collect()}
+    assert ("a", "a", "dupe_same_key") in out
+    assert ("b", "b", "changed") in out
+    assert (None, "c2", "only_source") in out
+    assert (None, "d", "only_source") in out
+    assert ("c", None, "only_target") in out
+    assert ("e", None, "only_target") in out
+    assert ("c", "c2", "dupe_moved") in out
+    assert len(out) == 7

@@ -109,7 +109,17 @@ def main() -> None:
     notes = check("top_revenue", p, must=[r"BroadcastHashJoin"], must_not=[r"SortMergeJoin"])
     sections.append(("top_revenue_customers (broadcast dim join)", p, notes))
 
-    # 5. Q1: pushdown + codegen + partial agg
+    # 5. embedding_neardup must be a bucketed join, never a cartesian
+    q = REGISTRY["embedding_neardup"][0](spark, SF)
+    p = plan_of(q)
+    notes = check(
+        "embedding_neardup", p,
+        must=[r"HashJoin|SortMergeJoin"],
+        must_not=[r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+    )
+    sections.append(("embedding_neardup (LSH bucket join, no all-pairs)", p, notes))
+
+    # 6. Q1: pushdown + codegen + partial agg
     q = REGISTRY["q1_pricing_summary"][0](spark, SF)
     p = plan_of(q)
     # NB: AQE's pre-execution formatted plan omits WholeStageCodegen
