@@ -36,7 +36,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-N_DOCS = int(os.environ.get("BENCH_N_DOCS", "12000000"))
+N_DOCS = int(os.environ.get("BENCH_N_DOCS", "8000000"))
 # 2 vs 8 cores: measured (BENCH.md) this sandbox scales cleanly to 8
 # threads/JVM; ≥16 threads inflate JVM cpu-time ~1.65× (GC/memory
 # contention), so 4×8=32-thread topologies under-measure the engine.
@@ -62,6 +62,8 @@ BENCH_QUERIES = [
 
 _DOCS_PATH = "/tmp/hashio_spark_bench_docs.parquet"
 _STAMP = os.path.join(_DOCS_PATH, "_N_DOCS")
+_SHUFFLE_DIR = os.environ.get("BENCH_SHUFFLE_DIR", "/dev/shm/hashio-spark-shuffle")
+os.makedirs(_SHUFFLE_DIR, exist_ok=True)
 
 
 def _materialize_docs(n_docs: int) -> None:
@@ -123,6 +125,13 @@ def _validation_session(cores: int):
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.locality.wait", "0")
         .config("spark.driver.memory", "24g")
+        # memory-backed shuffle dirs: this sandbox's disk-backed /tmp
+        # serializes shuffle I/O through ext4 writeback and inflates JVM
+        # cpu-time ~30% at 8 threads (measured, BENCH.md); real executors
+        # shuffle to per-node local disks/memory, so tmpfs is the honest
+        # local-mode analog (and standard practice on memory-backed
+        # emptyDirs in Spark-on-K8s)
+        .config("spark.local.dir", _SHUFFLE_DIR)
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .getOrCreate()
