@@ -90,3 +90,17 @@ def ignore_predicate(path_col: Column | str, patterns: tuple[str, ...] | None = 
 def apply_ignore(df: DataFrame, path_col: str = "path", patterns: tuple[str, ...] | None = None) -> DataFrame:
     """Drop ignored rows (the scan-side exclusion filter)."""
     return df.filter(~ignore_predicate(path_col, patterns))
+
+
+def subpath_predicate(path_col: Column | str, parent: str) -> Column:
+    """TRUE for rows whose path lies under ``parent`` (reference
+    ``is_subpath``, ``/root/reference/lib/hashio/utils.py:139-149``).
+
+    Normalizes the parent to a trailing ``/`` so ``/a/bc`` is NOT under
+    ``/a/b``; equality with the parent itself also matches.  A prefix
+    predicate like this pushes down to partition pruning when the path
+    column is (or prefixes) a partition key.
+    """
+    c = F.col(path_col) if isinstance(path_col, str) else path_col
+    p = parent.rstrip("/")
+    return c.startswith(p + "/") | (c == p)

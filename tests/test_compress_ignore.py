@@ -80,3 +80,13 @@ def test_ignore_env_override(spark, monkeypatch):
     assert kept == {"b.txt"}
     monkeypatch.delenv(ig.ENV_VAR)
     assert ig.ignore_patterns() == DEFAULT_IGNORE_PATTERNS
+
+
+def test_subpath_predicate(spark):
+    from hashio_spark.operators.ignore import subpath_predicate
+
+    df = spark.createDataFrame(
+        pd.DataFrame([("/a/b",), ("/a/b/c.txt",), ("/a/bc/d.txt",), ("/a/b2",), ("/x/a/b/c",)],
+                     columns=["path"]))
+    under = {r["path"] for r in df.filter(subpath_predicate("path", "/a/b")).collect()}
+    assert under == {"/a/b", "/a/b/c.txt"}
