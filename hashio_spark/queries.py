@@ -553,6 +553,38 @@ FROM documents
 """
 
 
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax language ID over the 4-language stopword heuristic
+    (ties broken by hits desc, then lang string desc — the ordering
+    ``array_max`` imposes on (hits, lang) structs)."""
+    from hashio_spark.functions.text import lang_id_expr
+
+    return _t(spark, sf_dir, "documents").select("doc_id", lang_id_expr("text").alias("lang_guess"))
+
+
+def _lang_id_sql() -> str:
+    from hashio_spark.functions.text import LANG_PATTERNS
+
+    unions = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, '{k}' AS lang, len(regexp_extract_all(text, '{p}')) AS hits FROM documents"
+        for k, p in LANG_PATTERNS.items()
+    )
+    return f"""
+WITH h AS (
+{unions}
+), r AS (
+  SELECT doc_id, lang, hits,
+    row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang DESC) AS rn
+  FROM h
+)
+SELECT doc_id, CASE WHEN hits >= 2 THEN lang ELSE 'unknown' END AS lang_guess
+FROM r WHERE rn = 1
+"""
+
+
+LANG_ID_SQL = _lang_id_sql()
+
+
 # ---------------------------------------------------------------------------
 # Similarity search over embeddings (training-data ops)
 # ---------------------------------------------------------------------------
@@ -916,6 +948,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "token_count": (token_count, TOKEN_COUNT_SQL),
     "text_quality": (text_quality, TEXT_QUALITY_SQL),
     "lang_score": (lang_score, LANG_SCORE_SQL),
+    "lang_id": (lang_id, LANG_ID_SQL),
     "ann_cosine_topk": (ann_cosine_topk, ANN_COSINE_TOPK_SQL),
     "embedding_neardup": (embedding_neardup, EMBEDDING_NEARDUP_SQL),
     "topk_orders_per_customer": (topk_orders_per_customer, TOPK_ORDERS_SQL),
