@@ -44,7 +44,15 @@ def cmd_validate(args) -> int:
             print(json.dumps({"status": "nothing-to-do", "run_id": args.run_id}))
             return 0
 
-    checks = frozenset(args.checks.split(",")) if args.checks else frozenset({"shape", "uniqueness", "referential"})
+    valid_checks = {"shape", "uniqueness", "referential"}
+    checks = frozenset(args.checks.split(",")) if args.checks else frozenset(valid_checks)
+    unknown = checks - valid_checks
+    if unknown:
+        # a typo must not silently disable a whole check class on a
+        # validation tool (round-2 ADVICE): fail fast instead
+        print(f"error: unknown --checks name(s): {sorted(unknown)}; "
+              f"valid: {sorted(valid_checks)}", file=sys.stderr)
+        return 2
     res = validate(docs, catalog, algo=args.algo, parity=args.parity, checks=checks)
     if store is not None:
         store.merge(manifest_rows(res, args.run_id, args.algo, lineage=args.input))
@@ -103,6 +111,15 @@ def cmd_dedupe(args) -> int:
     return 0
 
 
+def _glob_rlike(pattern: str) -> str:
+    """fnmatch-style glob → fully-anchored Java regex for RLIKE (the
+    reference's wildcard query filter, ``/root/reference/lib/hashio/
+    cache.py:364-412``, uses SQL LIKE with ``*``→``%`` rewriting)."""
+    import fnmatch
+
+    return "\\A" + fnmatch.translate(pattern)
+
+
 def cmd_query(args) -> int:
     from hashio_spark.sources.manifest_store import ManifestStore
 
@@ -115,9 +132,37 @@ def cmd_query(args) -> int:
         df = df.filter(F.col("algo") == args.algo)
     if args.since:
         df = df.filter(F.col("updated_at") >= F.lit(args.since).cast("timestamp"))
+    if args.path_like:
+        df = df.filter(F.col("lineage").rlike(_glob_rlike(args.path_like)))
+    if args.digest_like:
+        df = df.filter(F.col("digest").rlike(_glob_rlike(args.digest_like)))
     for r in df.orderBy("run_id", "partition_id").collect():
         print(f"{r['run_id']} {r['partition_id']} {r['algo']} {r['digest']} {r['row_count']}")
     return 0
+
+
+def cmd_list(args) -> int:
+    """List run snapshots (reference ``--list-snapshots``,
+    ``/root/reference/lib/hashio/cli.py:368-377``)."""
+    from hashio_spark.sources.manifest_store import ManifestStore
+
+    spark = _spark(args)
+    store = ManifestStore(spark, args.manifest)
+    for rid in store.list_runs():
+        print(rid)
+    return 0
+
+
+def cmd_drop(args) -> int:
+    """Delete one run's manifest rows (reference snapshot delete,
+    ``/root/reference/lib/hashio/cache.py:463-472``)."""
+    from hashio_spark.sources.manifest_store import ManifestStore
+
+    spark = _spark(args)
+    store = ManifestStore(spark, args.manifest)
+    deleted = store.delete(args.run_id)
+    print(json.dumps({"run_id": args.run_id, "deleted": deleted}))
+    return 0 if deleted else 1
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -157,7 +202,18 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--run-id")
     q.add_argument("--algo")
     q.add_argument("--since")
+    q.add_argument("--path-like", help="glob filter on lineage path (reference wildcard query)")
+    q.add_argument("--digest-like", help="glob filter on digest")
     q.set_defaults(fn=cmd_query)
+
+    ls = sub.add_parser("list", help="list run snapshots (--list-snapshots analog)")
+    ls.add_argument("--manifest", required=True)
+    ls.set_defaults(fn=cmd_list)
+
+    dr = sub.add_parser("drop", help="delete one run's manifest rows (snapshot delete analog)")
+    dr.add_argument("--manifest", required=True)
+    dr.add_argument("--run-id", required=True)
+    dr.set_defaults(fn=cmd_drop)
 
     args = p.parse_args(argv)
     return args.fn(args)

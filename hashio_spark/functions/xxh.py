@@ -11,9 +11,10 @@ This kernel is the *parity* path only: it is used inside Arrow-vectorized
 pandas UDFs to byte-match the reference's hexdigests (golden value:
 ``xxh64(b"hello, world\\n").hexdigest() == "abdc2a61f1f91f4c"``, from
 ``/root/reference/tests/test_hashio.py:463-479``).  The *scale* path uses
-Spark's builtin ``F.xxhash64`` (JVM, codegen), which is a different
-encoding (seed 42 over internal row format) and therefore not
-byte-compatible.
+Spark's builtin ``F.xxhash64`` (JVM, codegen), which for STRING columns
+is standard XXH64 with seed 42 over the UTF-8 bytes (replicated by
+:func:`spark_xxhash64_str` below for golden tests) — but seed-0
+hexdigest parity with the reference still requires this kernel.
 """
 
 from __future__ import annotations
@@ -93,3 +94,17 @@ def xxh64_intdigest(data: bytes, seed: int = 0) -> int:
 def xxh64_hexdigest(data: bytes, seed: int = 0) -> str:
     """16-char lowercase hex digest, matching ``xxhash.xxh64(...).hexdigest()``."""
     return format(xxh64_intdigest(data, seed), "016x")
+
+
+def spark_xxhash64_str(s: str) -> int:
+    """Driver-side replica of Spark SQL's ``xxhash64(string_col)``
+    (signed 64-bit LongType), for golden tests of JVM-hash-based
+    operators (e.g. ``simhash64``).
+
+    For a *string* column Spark's ``XxHash64`` expression is exactly
+    standard XXH64 over the UTF-8 bytes with seed 42 (verified
+    empirically against a live session across tail lengths 0-7, stripe
+    and non-stripe sizes, and non-ASCII input); only fixed-width types
+    go through the internal-row encoding."""
+    h = xxh64_intdigest(s.encode("utf-8"), seed=42)
+    return h - (1 << 64) if h >= (1 << 63) else h

@@ -159,21 +159,23 @@ def simhash64(df: DataFrame, key_col: str, text_col: str) -> DataFrame:
     updates all 64 in one visit), then a 64-term finalization over the
     counter array.  The previous shape — 64 independent ``aggregate``
     folds, one per bit — traversed the token array 64× and produced a
-    pathological codegen tree (round-1 VERDICT #5)."""
+    pathological codegen tree (round-1 VERDICT #5).  The token hash is
+    bound ONCE per token via an inner ``transform`` (r02 VERDICT #3:
+    repeating ``xxhash64(t)`` in all 64 ``when`` branches made
+    correctness lean on Catalyst CSE firing inside the lambda)."""
     toks = F.split(F.col(text_col), r"\s+")
 
     def mask(b: int) -> Column:
         # 1<<63 overflows a python-literal long; shiftleft stays JVM-side
         return F.shiftleft(F.lit(1).cast("long"), b)
 
-    # per-token ±1 votes for all 64 bits, summed element-wise in one fold
+    # hash once per token, then per-token ±1 votes for all 64 bits,
+    # summed element-wise in one fold
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
     votes = F.transform(
-        toks,
-        lambda t: F.array(
-            *[
-                F.when(F.xxhash64(t).bitwiseAND(mask(b)) != 0, 1).otherwise(-1)
-                for b in range(64)
-            ]
+        hashes,
+        lambda h: F.array(
+            *[F.when(h.bitwiseAND(mask(b)) != 0, 1).otherwise(-1) for b in range(64)]
         ),
     )
     counts = F.aggregate(

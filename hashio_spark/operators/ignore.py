@@ -69,9 +69,19 @@ def ignore_patterns() -> tuple[str, ...]:
 def ignore_predicate(path_col: Column | str, patterns: tuple[str, ...] | None = None) -> Column:
     """TRUE for rows whose path matches any ignore pattern.
 
-    Bare patterns match the basename; patterns containing ``/`` match the
-    whole path.  Compiled into two regex unions → two ``RLIKE`` ops per
-    row regardless of pattern count.
+    Bare patterns match the basename; patterns containing ``/`` match a
+    path suffix aligned at a segment boundary.  Compiled into two regex
+    unions → two ``RLIKE`` ops per row regardless of pattern count.
+
+    Anchoring: ``fnmatch.translate`` end-anchors only (``...\\Z``), while
+    ``RLIKE`` uses unanchored find() semantics — without a start anchor
+    every pattern degrades to a suffix match (``.git`` would drop a
+    legitimate file named ``foo.git``; round-2 ADVICE).  Basename
+    alternatives are therefore ``\\A``-anchored (fnmatch FULL-match
+    semantics, like the reference's ``fnmatch.fnmatch`` on basenames);
+    path alternatives anchor at start-of-string OR just after a ``/`` so
+    ``a/.git/config`` still matches ``.git/*`` but ``my.git/x`` does not
+    match it via the ``.git`` prefix.
     """
     pats = patterns if patterns is not None else ignore_patterns()
     c = F.col(path_col) if isinstance(path_col, str) else path_col
@@ -79,10 +89,10 @@ def ignore_predicate(path_col: Column | str, patterns: tuple[str, ...] | None = 
     full_regexes = [fnmatch.translate(p) for p in pats if "/" in p]
     pred = F.lit(False)
     if base_regexes:
-        union = "|".join(f"(?:{r})" for r in base_regexes)
+        union = "|".join(f"(?:\\A{r})" for r in base_regexes)
         pred = pred | F.element_at(F.split(c, "/"), -1).rlike(union)
     if full_regexes:
-        union = "|".join(f"(?:{r})" for r in full_regexes)
+        union = "|".join(f"(?:(?:\\A|(?<=/)){r})" for r in full_regexes)
         pred = pred | c.rlike(union)
     return pred
 

@@ -84,6 +84,83 @@ def lsh_buckets(emb: DataFrame, key_col: str, vec_col: str, n_planes: int = 16, 
     return emb.select(F.col(key_col).alias("key"), lsh_bucket_expr(v, n_planes, dim).alias("bucket"), v.alias("v"))
 
 
+def neardup_pairs(
+    emb: DataFrame,
+    key_col: str,
+    vec_col: str,
+    threshold: float = 0.9,
+    n_bands: int = 8,
+    bits_per_band: int | None = None,
+    max_bucket: int = 256,
+    dim: int = 64,
+    target_bucket: int = 64,
+) -> DataFrame:
+    """Full-corpus embedding near-dup pairs via banded hyperplane LSH:
+    ``n_bands`` independent sign-bit sketches of ``bits_per_band``
+    hyperplanes each (band i uses planes ``i*r .. i*r+r-1``), candidates
+    = rows agreeing on ALL bits of at least one band, per-(band, bucket)
+    population capped at ``max_bucket``, then exact cosine re-rank.
+
+    ``bits_per_band=None`` scales the sketch to the corpus:
+    ``ceil(log2(n / target_bucket))`` clamped to [4, 34], so expected
+    per-band bucket occupancy stays ~``target_bucket`` regardless of
+    corpus size — at 10^12 rows that is ~34 bits / 2^34 buckets per
+    band.  Candidate volume is Σ_bucket n_bucket² per band, bounded by
+    ``n_bands × n/target × cap²`` — linear in the corpus; a fixed plane
+    count would be quadratic (r02 VERDICT #2).  Recall at per-bit
+    agreement p = 1 - θ/π is ``1-(1-p^r)^b`` — raise ``n_bands`` (cost
+    ∝ b) to buy recall at a fixed bucket granularity.  The count() used
+    for sizing is skipped when ``bits_per_band`` is given."""
+    import math
+
+    if bits_per_band is None:
+        n = emb.count()
+        bits_per_band = min(34, max(4, math.ceil(math.log2(max(n, 2) / target_bucket))))
+    v = as_double_vec(vec_col)
+    keyed = emb.select(F.col(key_col).alias("key"), v.alias("v"))
+
+    def _band_val(band: int) -> Column:
+        val = F.lit(0).cast("long")
+        for j in range(bits_per_band):
+            p = band * bits_per_band + j
+            proj = F.aggregate(
+                F.zip_with(
+                    F.col("v"),
+                    F.array(*[_plane_component(p, d) for d in range(dim)]),
+                    lambda x, w: x * w,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            val = val.bitwiseOR(F.when(proj > 0, F.lit(1 << j)).otherwise(F.lit(0)).cast("long"))
+        return val
+
+    bands = keyed.select(
+        "key",
+        "v",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(i).alias("band_id"), _band_val(i).alias("band_val"))
+                for i in range(n_bands)
+            ])
+        ).alias("b"),
+    ).select("key", "v", F.col("b.band_id").alias("band_id"), F.col("b.band_val").alias("band_val"))
+    sizes = bands.groupBy("band_id", "band_val").agg(F.count(F.lit(1)).alias("n"))
+    ok = bands.join(
+        sizes.filter((F.col("n") > 1) & (F.col("n") <= max_bucket)), ["band_id", "band_val"]
+    ).select("key", "v", "band_id", "band_val")
+    a = ok.select(F.col("key").alias("key_a"), F.col("v").alias("v_a"), "band_id", "band_val")
+    b = ok.select(F.col("key").alias("key_b"), F.col("v").alias("v_b"), "band_id", "band_val")
+    return (
+        a.join(b, ["band_id", "band_val"])
+        .filter(F.col("key_a") < F.col("key_b"))
+        .select("key_a", "key_b", cosine_expr(F.col("v_a"), F.col("v_b")).alias("cos"))
+        .filter(F.col("cos") >= threshold)
+        .select("key_a", "key_b", "cos")
+        .distinct()
+    )
+
+
 def lsh_topk(
     emb: DataFrame, queries: DataFrame, key_col: str, vec_col: str, k: int = 10,
     n_planes: int = 8, dim: int = 64, query_key: str | None = None,

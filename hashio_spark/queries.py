@@ -638,7 +638,7 @@ SELECT query_id, rank, neighbor_id FROM (
 """
 
 
-def _neardup_planes(n_planes: int = 3, dim: int = 64) -> list[list[int]]:
+def _neardup_planes(n_planes: int = 16, dim: int = 64) -> list[list[int]]:
     """Deterministic integer hyperplane components in [-1e6, 1e6]:
     md5-derived at plan-build time, embedded as literals in BOTH engines
     (no cross-engine hash-function parity needed)."""
@@ -654,44 +654,71 @@ def _neardup_planes(n_planes: int = 3, dim: int = 64) -> list[list[int]]:
 
 
 _NEARDUP_PLANES = _neardup_planes()
+_NEARDUP_BANDS = 4          # OR-amplification: candidate if ANY band agrees
+_NEARDUP_BAND_BITS = 4      # sign bits per band (16 planes total)
+_NEARDUP_MAX_BUCKET = 256   # per-(band, bucket) cap — quadratic-blowup guard
 
 
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via random-hyperplane LSH:
-    bucket by the sign bits of ``n_planes`` hyperplane projections, then
-    exact cosine (>= 0.45) on same-bucket candidates only.
+    """Embedding-cosine near-duplicate pairs via BANDED random-hyperplane
+    LSH — the same (b bands × r bits, OR across bands) amplification as
+    the MinHash banding in :func:`dedupe_minhash_lsh`: 16 hyperplanes
+    grouped into 4 bands of 4 sign bits; two vectors are candidates iff
+    ALL bits of at least one band agree; per-(band, bucket) population is
+    capped at ``_NEARDUP_MAX_BUCKET`` (the standard LSH degenerate-
+    cluster guard); candidates then pass an exact cosine >= 0.45 re-rank.
 
-    This is the scale path: the join volume is per-bucket, never the
-    O(n²) all-pairs cartesian.  Sign bits are computed on vectors
-    quantized to integers (floor(x*1000)) against integer plane
-    components, so every engine gets bit-identical buckets — integer
-    dot products stay < 2^53 and are exact in double arithmetic
-    regardless of summation order."""
+    Why banded (r03): a single 16-bit sketch with 1-bit multi-probe has
+    ~1.5% recall at this query's 0.45 cosine contract (per-bit agreement
+    p = 1 - θ/π ≈ 0.67 ⇒ P[Hamming≤1] ≈ 0.015) — scale-safe but finds
+    nothing; the r02 3-plane variant found everything but had a CONSTANT
+    8 buckets ⇒ O(n²/8) join volume (r02 VERDICT #2).  Banding is the
+    standard middle: recall 1-(1-p^r)^b (~0.6 at cos 0.5, ~0.97 at cos
+    0.8), candidate volume Σ_bucket n_bucket² bounded by the cap.  For
+    corpora beyond ~10^5 rows, bits-per-band must grow with log2(n) —
+    ``operators/similarity.neardup_pairs`` does exactly that (adaptive
+    planes from the corpus count); this registered query pins r=4/b=4 so
+    the DuckDB oracle replicates it literally.
+
+    Sign bits are computed on vectors quantized to integers
+    (floor(x*1000)) against integer plane components, so every engine
+    gets bit-identical buckets — integer dot products stay < 2^53 and are
+    exact in double arithmetic regardless of summation order."""
     e = _emb_double(spark, sf_dir)
     qv = F.transform(F.col("ve"), lambda x: F.floor(x * F.lit(1000.0)).cast("double"))
-    bucket = F.lit(0)
-    for p, plane in enumerate(_NEARDUP_PLANES):
-        arr = F.array(*[F.lit(float(w)) for w in plane])
-        dot = F.aggregate(F.zip_with(qv, arr, lambda x, w: x * w), F.lit(0.0), lambda a, v: a + v)
-        bucket = bucket + F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
-    bk = e.select("vec_id", "ve", bucket.alias("bucket"))
-    # multi-probe (1-bit flips) on the left side: a pair within Hamming
-    # distance 1 of each other's sketch becomes a candidate; each probe
-    # value is distinct so no pair is emitted twice
-    probes = F.array(
-        F.col("bucket"),
-        *[F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(len(_NEARDUP_PLANES))],
-    )
-    a = bk.select(
-        F.col("vec_id").alias("a_id"), F.col("ve").alias("a_ve"), F.explode(probes).alias("bucket")
-    )
-    b = bk.select(F.col("vec_id").alias("b_id"), F.col("ve").alias("b_ve"), "bucket")
+
+    def _band_val(band: int):
+        val = F.lit(0)
+        for j in range(_NEARDUP_BAND_BITS):
+            plane = _NEARDUP_PLANES[band * _NEARDUP_BAND_BITS + j]
+            arr = F.array(*[F.lit(float(w)) for w in plane])
+            dot = F.aggregate(F.zip_with(qv, arr, lambda x, w: x * w), F.lit(0.0), lambda a, v: a + v)
+            val = val + F.when(dot > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        return val
+
+    bands = e.select(
+        "vec_id",
+        "ve",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(i).alias("band_id"), _band_val(i).alias("band_val"))
+                for i in range(_NEARDUP_BANDS)
+            ])
+        ).alias("b"),
+    ).select("vec_id", "ve", F.col("b.band_id").alias("band_id"), F.col("b.band_val").alias("band_val"))
+    sizes = bands.groupBy("band_id", "band_val").agg(F.count(F.lit(1)).alias("n"))
+    ok = bands.join(
+        sizes.filter((F.col("n") > 1) & (F.col("n") <= _NEARDUP_MAX_BUCKET)), ["band_id", "band_val"]
+    ).select("vec_id", "ve", "band_id", "band_val")
+    a = ok.select(F.col("vec_id").alias("a_id"), F.col("ve").alias("a_ve"), "band_id", "band_val")
+    b = ok.select(F.col("vec_id").alias("b_id"), F.col("ve").alias("b_ve"), "band_id", "band_val")
     return (
-        a.join(b, "bucket")
+        a.join(b, ["band_id", "band_val"])
         .filter(F.col("a_id") < F.col("b_id"))
         .select("a_id", "b_id", _cosine(F.col("a_ve"), F.col("b_ve")).alias("cos"))
         .filter(F.col("cos") >= 0.45)
         .select("a_id", "b_id")
+        .distinct()
     )
 
 
@@ -699,18 +726,31 @@ def _neardup_sql() -> str:
     def lit_arr(plane: list[int]) -> str:
         return "[" + ", ".join(f"{w}.0" for w in plane) + "]"
 
-    bits = " + ".join(
-        f"(CASE WHEN list_dot_product(qv, {lit_arr(plane)}) > 0 THEN {1 << p} ELSE 0 END)"
-        for p, plane in enumerate(_NEARDUP_PLANES)
+    def band_val(band: int) -> str:
+        return " + ".join(
+            f"(CASE WHEN list_dot_product(qv, {lit_arr(_NEARDUP_PLANES[band * _NEARDUP_BAND_BITS + j])}) > 0 "
+            f"THEN {1 << j} ELSE 0 END)"
+            for j in range(_NEARDUP_BAND_BITS)
+        )
+
+    band_selects = "\n  UNION ALL\n".join(
+        f"  SELECT vec_id, ve, {i} AS band_id, {band_val(i)} AS band_val FROM q"
+        for i in range(_NEARDUP_BANDS)
     )
-    probe_list = "[bucket" + "".join(f", xor(bucket, {1 << p})" for p in range(len(_NEARDUP_PLANES))) + "]"
     return f"""
 WITH e AS (SELECT vec_id, cast(embedding AS double[]) AS ve FROM embeddings),
 q AS (SELECT vec_id, ve, list_transform(ve, x -> floor(x * 1000.0)) AS qv FROM e),
-bk AS (SELECT vec_id, ve, {bits} AS bucket FROM q),
-pr AS (SELECT vec_id, ve, unnest({probe_list}) AS bucket FROM bk)
-SELECT a.vec_id AS a_id, b.vec_id AS b_id
-FROM pr a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+bands AS (
+{band_selects}
+), sizes AS (
+  SELECT band_id, band_val, count(*) AS n FROM bands GROUP BY band_id, band_val
+), ok AS (
+  SELECT bands.vec_id, bands.ve, bands.band_id, bands.band_val
+  FROM bands JOIN sizes USING (band_id, band_val)
+  WHERE sizes.n > 1 AND sizes.n <= {_NEARDUP_MAX_BUCKET}
+)
+SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+FROM ok a JOIN ok b ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.vec_id < b.vec_id
 WHERE list_dot_product(a.ve, b.ve) / sqrt(list_dot_product(a.ve, a.ve) * list_dot_product(b.ve, b.ve)) >= 0.45
 """
 
@@ -867,10 +907,13 @@ FROM f
 
 
 def simhash64_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash fingerprints over native xxhash64 token hashes (xxhash64 is
-    not SQL-replicable — rows-only check; behavior covered by
-    tests/test_dedupe_similarity.py and the oracle-checked md5 variant
-    below)."""
+    """SimHash fingerprints over native xxhash64 token hashes.  Not in the
+    driver REGISTRY (xxhash64 is not DuckDB-replicable, and a rows-only
+    row is weaker than the coverage it has): correctness is locked by
+    (a) the oracle-checked ``simhash_md5`` twin (identical plan shape)
+    and (b) a pure-Python golden test that recomputes the full simhash
+    driver-side with ``functions.xxh.spark_xxhash64_str``
+    (tests/test_dedupe_similarity.py::test_simhash64_golden)."""
     from hashio_spark.operators.dedupe import simhash64
 
     return simhash64(_t(spark, sf_dir, "documents"), "doc_id", "text").withColumnRenamed("key", "doc_id")
@@ -889,13 +932,14 @@ def simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     def mask(b: int):
         return F.shiftleft(F.lit(1).cast("long"), b)
 
-    def th(t):
-        return F.conv(F.substring(F.md5(t.cast("binary")), 1, 15), 16, 10).cast("long")
-
+    # token hash bound ONCE per token (r02 VERDICT #3), then voted over
+    hashes = F.transform(
+        toks, lambda t: F.conv(F.substring(F.md5(t.cast("binary")), 1, 15), 16, 10).cast("long")
+    )
     votes = F.transform(
-        toks,
-        lambda t: F.array(
-            *[F.when(th(t).bitwiseAND(mask(b)) != 0, 1).otherwise(-1) for b in range(_SIMHASH_MD5_BITS)]
+        hashes,
+        lambda h: F.array(
+            *[F.when(h.bitwiseAND(mask(b)) != 0, 1).otherwise(-1) for b in range(_SIMHASH_MD5_BITS)]
         ),
     )
     counts = F.aggregate(
@@ -957,7 +1001,6 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "rollup_counts": (rollup_counts, ROLLUP_COUNTS_SQL),
     "dataset_digest": (dataset_digest_q, DATASET_DIGEST_SQL),
     "quality_score": (quality_score, QUALITY_SCORE_SQL),
-    "simhash64": (simhash64_q, None),
     "simhash_md5": (simhash_md5, SIMHASH_MD5_SQL),
 }
 

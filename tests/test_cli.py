@@ -1,0 +1,76 @@
+"""spark-submit CLI surface: validate/query/list/drop round-trip and the
+--checks typo guard (reference CLI analogs:
+/root/reference/lib/hashio/cli.py:368-377 list-snapshots,
+cache.py:463-472 delete, cache.py:364-412 wildcard query)."""
+
+import json
+
+import pytest
+
+from hashio_spark.cli import main
+
+
+@pytest.fixture(scope="module")
+def io_dirs(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("cli")
+    from hashio_spark.datagen import asset_catalog, documents_interleaved
+
+    docs = documents_interleaved(spark, n_docs=200, n_partitions=4)
+    docs.write.mode("overwrite").parquet(str(root / "docs.parquet"))
+    asset_catalog(spark, 100).write.mode("overwrite").parquet(str(root / "catalog.parquet"))
+    return {
+        "docs": str(root / "docs.parquet"),
+        "catalog": str(root / "catalog.parquet"),
+        "manifest": str(root / "manifest"),
+    }
+
+
+def test_checks_typo_fails_fast(io_dirs, capsys):
+    """'--checks shap' must error out, not silently skip the shape class
+    (round-2 ADVICE: dangerous for a validation tool)."""
+    rc = main([
+        "validate", "--input", io_dirs["docs"], "--catalog", io_dirs["catalog"],
+        "--checks", "shap,uniqueness",
+    ])
+    assert rc == 2
+    err = capsys.readouterr().err
+    assert "shap" in err and "unknown" in err
+
+
+def test_validate_list_query_drop_roundtrip(io_dirs, capsys):
+    rc = main([
+        "validate", "--input", io_dirs["docs"], "--catalog", io_dirs["catalog"],
+        "--manifest", io_dirs["manifest"], "--run-id", "runA", "--algo", "md5",
+    ])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["run_id"] == "runA" and out["docs"] == 200
+
+    rc = main([
+        "validate", "--input", io_dirs["docs"], "--catalog", io_dirs["catalog"],
+        "--manifest", io_dirs["manifest"], "--run-id", "runB", "--algo", "md5",
+    ])
+    assert rc == 0
+    capsys.readouterr()
+
+    assert main(["list", "--manifest", io_dirs["manifest"]]) == 0
+    assert capsys.readouterr().out.split() == ["runA", "runB"]
+
+    # wildcard filters: digest glob + lineage (path) glob
+    assert main(["query", "--manifest", io_dirs["manifest"], "--run-id", "runA",
+                 "--digest-like", "*"]) == 0
+    n_all = len(capsys.readouterr().out.strip().splitlines())
+    assert n_all > 0
+    assert main(["query", "--manifest", io_dirs["manifest"],
+                 "--path-like", "*docs.parquet"]) == 0
+    assert len(capsys.readouterr().out.strip().splitlines()) == 2 * n_all  # both runs
+    assert main(["query", "--manifest", io_dirs["manifest"],
+                 "--path-like", "*nope*"]) == 0
+    assert capsys.readouterr().out.strip() == ""
+
+    assert main(["drop", "--manifest", io_dirs["manifest"], "--run-id", "runA"]) == 0
+    assert json.loads(capsys.readouterr().out.strip())["deleted"] is True
+    assert main(["list", "--manifest", io_dirs["manifest"]]) == 0
+    assert capsys.readouterr().out.split() == ["runB"]
+    # dropping again reports nothing to delete
+    assert main(["drop", "--manifest", io_dirs["manifest"], "--run-id", "runA"]) == 1

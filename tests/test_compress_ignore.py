@@ -90,3 +90,25 @@ def test_subpath_predicate(spark):
                      columns=["path"]))
     under = {r["path"] for r in df.filter(subpath_predicate("path", "/a/b")).collect()}
     assert under == {"/a/b", "/a/b/c.txt"}
+
+
+def test_ignore_patterns_are_fullmatch_anchored(spark):
+    """fnmatch semantics are FULL-name match: '.git' must not drop a
+    legitimate 'foo.git', '.cache' must not drop 'a.cache' (RLIKE is
+    unanchored find() — round-2 ADVICE anchoring fix)."""
+    rows = [
+        ("repo/foo.git",),          # keep: '.git' is a full-name pattern
+        ("a.cache",),               # keep
+        ("my_desktop.ini",),        # keep: 'desktop.ini' is not a suffix rule
+        ("work/foo.#bar",),         # keep: '.#*' anchors at name start
+        ("repo/.git",),             # drop
+        ("a/.git/config",),         # drop via '.git/*' segment-aligned
+        ("deep/x/.cache/obj",),     # drop via '.cache/*' segment-aligned
+        ("x/my.git/config",),       # keep: 'my.git' dir is not '.git'
+        (".cache",),                # drop
+    ]
+    import pandas as _pd
+
+    df = spark.createDataFrame(_pd.DataFrame(rows, columns=["path"]))
+    kept = {r["path"] for r in apply_ignore(df, "path").collect()}
+    assert kept == {"repo/foo.git", "a.cache", "my_desktop.ini", "work/foo.#bar", "x/my.git/config"}

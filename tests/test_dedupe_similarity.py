@@ -47,6 +47,38 @@ def test_ngram_jaccard_verification(text_docs):
         assert {a, b} <= {"d1", "d2", "d3", "d6"}
 
 
+def _simhash64_py(text: str) -> int:
+    """Driver-side golden replica of operators.dedupe.simhash64: Spark
+    xxhash64 per \\s+-token (split('') -> ['']), ±1 majority vote per bit,
+    signed 64-bit assembly."""
+    import re
+
+    from hashio_spark.functions.xxh import spark_xxhash64_str
+
+    toks = re.split(r"\s+", text)  # NB: '' -> [''] — matches Spark split()
+    counts = [0] * 64
+    for t in toks:
+        h = spark_xxhash64_str(t)
+        for b in range(64):
+            counts[b] += 1 if (h & (1 << b)) != 0 else -1
+    sim = 0
+    for b in range(64):
+        if counts[b] > 0:
+            sim |= 1 << b
+    return sim - (1 << 64) if sim >= (1 << 63) else sim
+
+
+def test_simhash64_golden(text_docs, short_docs):
+    """The production xxhash64 SimHash, value-checked against a pure-Python
+    recomputation (the REGISTRY-level oracle cannot cover xxhash64 — this
+    is its golden-value stand-in, per r02 VERDICT next-step #4)."""
+    for fixture in (text_docs, short_docs):
+        rows = {r["doc_id"]: r["text"] for r in fixture.select("doc_id", "text").collect()}
+        got = {r["key"]: r["simhash"] for r in D.simhash64(fixture, "doc_id", "text").collect()}
+        expected = {k: _simhash64_py(v) for k, v in rows.items()}
+        assert got == expected
+
+
 def test_simhash_near_dup_hamming(text_docs):
     sim = D.simhash64(text_docs, "doc_id", "text")
     vals = {r["key"]: r["simhash"] for r in sim.collect()}
@@ -85,6 +117,14 @@ def test_brute_force_topk_matches_numpy(embeddings):
 
 def test_embedding_neardup_pairs(embeddings):
     out = D.embedding_neardup_pairs(embeddings, "vec_id", "embedding", threshold=0.95).collect()
+    assert {(r["key_a"], r["key_b"]) for r in out} == {(0, 1)}
+
+
+def test_neardup_pairs_adaptive(embeddings):
+    """Adaptive-planes full-corpus near-dup: planted pair (0,1) with
+    cosine≈1 lands in the same bucket (deterministic planes) and survives
+    the exact re-rank; plane count self-scales from the corpus count."""
+    out = S.neardup_pairs(embeddings, "vec_id", "embedding", threshold=0.95, dim=16).collect()
     assert {(r["key_a"], r["key_b"]) for r in out} == {(0, 1)}
 
 

@@ -156,3 +156,77 @@ def test_interleave_from_flat_planted_violations(spark):
     assert sum(r["row_count"] for r in rep) == n
     assert sum(r["violation_count"] for r in rep) == exp_dup + exp_null + exp_ooo + exp_dangle
     res.violations.unpersist()
+
+
+def test_manifest_special_char_run_id(spark, docs, catalog, tmp_path):
+    """Spark percent-escapes ':' '+' etc. in partition dir names; the
+    merge swap must enumerate the written dirs, not reconstruct
+    'run_id=<raw>' (which silently discarded the rows — round-2 ADVICE)."""
+    from hashio_spark.sources.manifest_store import ManifestStore
+
+    rid = "2024-01-01T10:00:00+00:00"
+    res = validate(docs, catalog)
+    store = ManifestStore(spark, str(tmp_path / "m3"))
+    store.merge(manifest_rows(res, rid, "md5"))
+    assert store.read().count() == 8
+    assert store.read().filter(F.col("run_id") == rid).count() == 8
+    assert store.list_runs() == [rid]
+    # escape-safe delete round-trip
+    assert store.delete(rid) is True
+    assert store.read().count() == 0
+    assert store.delete(rid) is False
+
+
+def test_manifest_legacy_layout_errors(spark, tmp_path):
+    """A pre-partitioning store (bare parquet, no run_id=* dirs) must fail
+    loudly instead of silently reading as empty (round-2 ADVICE)."""
+    from hashio_spark.sources.manifest_store import ManifestStore
+
+    legacy = str(tmp_path / "legacy")
+    spark.range(3).toDF("x").coalesce(1).write.parquet(legacy)
+    store = ManifestStore(spark, legacy)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unpartitioned legacy"):
+        store.read()
+
+
+def test_manifest_untouched_partitions_not_rewritten(spark, docs, catalog, tmp_path):
+    """Partition-scoped merge: merging run2 must leave run1's files
+    byte-identical (merge cost ∝ touched slice)."""
+    import glob
+    import os
+
+    from hashio_spark.sources.manifest_store import ManifestStore
+
+    res = validate(docs, catalog)
+    store = ManifestStore(spark, str(tmp_path / "m4"))
+    store.merge(manifest_rows(res, "run1", "md5"))
+    files_before = {
+        p: (os.path.getmtime(p), os.path.getsize(p))
+        for p in glob.glob(str(tmp_path / "m4" / "run_id=run1" / "*"))
+    }
+    assert files_before
+    store.merge(manifest_rows(res, "run2", "md5"))
+    files_after = {
+        p: (os.path.getmtime(p), os.path.getsize(p))
+        for p in glob.glob(str(tmp_path / "m4" / "run_id=run1" / "*"))
+    }
+    assert files_before == files_after
+    assert sorted(store.list_runs()) == ["run1", "run2"]
+
+
+def test_iceberg_merge_sql_shape():
+    """Jar-less environments can still assert the exact MERGE DDL the
+    Iceberg branch issues (r02 VERDICT next-step #3)."""
+    from hashio_spark.sources.manifest_store import iceberg_merge_sql
+
+    sql = iceberg_merge_sql("cat.db.manifest", "updates", prefer_new=True)
+    assert sql.startswith("MERGE INTO cat.db.manifest t")
+    assert "USING updates s" in sql
+    assert "t.run_id = s.run_id AND t.partition_id = s.partition_id AND t.algo = s.algo" in sql
+    assert "WHEN MATCHED THEN UPDATE SET" in sql and "t.digest = s.digest" in sql
+    assert "WHEN NOT MATCHED THEN INSERT" in sql
+    # INSERT-OR-IGNORE flavor: no UPDATE clause at all
+    sql_ig = iceberg_merge_sql("cat.db.manifest", "updates", prefer_new=False)
+    assert "WHEN MATCHED" not in sql_ig and "WHEN NOT MATCHED THEN INSERT" in sql_ig
