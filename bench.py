@@ -204,6 +204,27 @@ def _run_validation_batch(cores: int, n_passes: int, max_retries: int = 8,
         spark.stop()
 
 
+def _fast_tier_queries():
+    """(name, fn) pairs for the xxhash64 production dedupe tier."""
+    from hashio_spark.operators.dedupe import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        simhash64,
+    )
+
+    def _docs(spark, sf_dir):
+        return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def minhash_lsh_fast(spark, sf_dir):
+        sig = minhash_signatures(_docs(spark, sf_dir), "doc_id", "text", n_perm=4)
+        return lsh_candidate_pairs(sig, n_bands=2, max_band_size=64, n_perm=4)
+
+    def simhash64_fast(spark, sf_dir):
+        return simhash64(_docs(spark, sf_dir), "doc_id", "text")
+
+    return [("dedupe_minhash_lsh_fast", minhash_lsh_fast), ("simhash64_fast", simhash64_fast)]
+
+
 def main() -> None:
     from hashio_spark.queries import REGISTRY
     from hashio_spark.session import get_spark
@@ -217,6 +238,14 @@ def main() -> None:
         t0 = time.monotonic()
         df = fn(spark, SF_DIR)
         n = df.count()
+        qtimes[name] = round(time.monotonic() - t0, 3)
+        print(f"# {name}: {qtimes[name]}s rows={n}", file=sys.stderr)
+    # production fast-tier variants (xxhash64 token hashing — not DuckDB-
+    # replicable, so not REGISTRY queries; benched here to record the
+    # native tier's headroom over the oracle-parity md5 variants)
+    for name, fn in _fast_tier_queries():
+        t0 = time.monotonic()
+        n = fn(spark, SF_DIR).count()
         qtimes[name] = round(time.monotonic() - t0, 3)
         print(f"# {name}: {qtimes[name]}s rows={n}", file=sys.stderr)
     spark.stop()

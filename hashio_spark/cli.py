@@ -34,7 +34,10 @@ def cmd_validate(args) -> int:
     from hashio_spark.sources.manifest_store import ManifestStore
 
     spark = _spark(args)
-    docs = spark.read.parquet(args.input)
+    # ordered-unique input paths (reference M3: duplicate CLI paths are
+    # dropped keeping first occurrence, /root/reference/lib/hashio/cli.py:434)
+    inputs = list(dict.fromkeys(args.input))
+    docs = spark.read.parquet(*inputs)
     catalog = spark.read.parquet(args.catalog) if args.catalog else None
     store = ManifestStore(spark, args.manifest) if args.manifest else None
 
@@ -55,7 +58,7 @@ def cmd_validate(args) -> int:
         return 2
     res = validate(docs, catalog, algo=args.algo, parity=args.parity, checks=checks)
     if store is not None:
-        store.merge(manifest_rows(res, args.run_id, args.algo, lineage=args.input))
+        store.merge(manifest_rows(res, args.run_id, args.algo, lineage=",".join(inputs)))
     if args.violations_out:
         res.violations.write.mode("overwrite").parquet(args.violations_out)
     if args.export:
@@ -171,7 +174,8 @@ def main(argv: list[str] | None = None) -> int:
     sub = p.add_subparsers(dest="cmd", required=True)
 
     v = sub.add_parser("validate")
-    v.add_argument("--input", required=True)
+    v.add_argument("--input", required=True, action="append",
+                   help="input parquet path; repeatable, duplicates dropped keeping order")
     v.add_argument("--catalog")
     v.add_argument("--manifest")
     v.add_argument("--run-id", default="run")

@@ -63,6 +63,37 @@ def digest_expr(col: Column | str, algo: str = "md5") -> Column:
     raise ValueError(f"unknown algo: {algo}")
 
 
+def path_type_digest_expr(
+    kind_col: Column | str,
+    content_col: Column | str,
+    algo: str = "md5",
+    cached_digest_col: Column | str | None = None,
+    fresh_col: Column | str | None = None,
+) -> Column:
+    """Path-type dispatch digest (SURVEY F12; reference ``checksum_path``,
+    ``/root/reference/lib/hashio/encoder.py:388-412``): one ``F.when``
+    chain over a ``kind`` column, fully inside whole-stage codegen —
+
+    * ``kind='dir'`` → empty digest (directory digests come from the
+      tree-hash rollup, the reference's ``checksum_folder`` analog —
+      see ``operators/rollup.dataset_digest``);
+    * cached-and-fresh rows (``fresh_col`` true, cached digest present)
+      → reuse the cached value, skipping the content digest entirely
+      (the reference's cache short-circuit, ``encoder.py:406-430``);
+    * everything else (``kind='file'``) → digest the content column.
+
+    The branch predicates are evaluated per row; Catalyst only computes
+    the expensive content digest on rows that reach the otherwise-branch.
+    """
+    k = F.col(kind_col) if isinstance(kind_col, str) else kind_col
+    expr = F.when(k == "dir", F.lit(""))
+    if cached_digest_col is not None and fresh_col is not None:
+        cached = F.col(cached_digest_col) if isinstance(cached_digest_col, str) else cached_digest_col
+        fresh = F.col(fresh_col) if isinstance(fresh_col, str) else fresh_col
+        expr = expr.when(fresh & cached.isNotNull(), cached)
+    return expr.otherwise(digest_expr(content_col, algo))
+
+
 # ---------------------------------------------------------------------------
 # Parity path: Arrow-vectorized hexdigest kernels
 # ---------------------------------------------------------------------------

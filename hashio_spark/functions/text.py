@@ -104,20 +104,40 @@ def lang_id_expr(col: Column | str = "text", min_hits: int = 2) -> Column:
     return F.when(best["hits"] >= min_hits, best["lang"]).otherwise(F.lit("unknown"))
 
 
-def word_shingles_expr(col: Column | str = "text", k: int = 3) -> Column:
-    """k-word shingles in document order (for MinHash / Jaccard).
+def word_shingles_from_tokens(toks_col: Column | str, k: int = 3) -> Column:
+    """k-word shingles from a BOUND tokens column (array<string>).
 
     Docs with fewer than ``k`` tokens yield an EMPTY array.  The guard is
     load-bearing: ``sequence(1, size-k+1)`` with a negative span evaluates
     as a *descending* sequence in Spark ([1, 0]), and the inner
     ``slice(toks, 0, k)`` then throws INVALID_PARAMETER_VALUE.START —
     a whole-job crash on any real corpus containing short documents.
+
+    Pass a column ATTRIBUTE (project the tokenization first), not an
+    inline ``split(...)`` expression: higher-order lambdas are
+    interpreted, with no common-subexpression elimination, so an
+    embedded split is re-executed once per array ELEMENT — measured 5×
+    on the whole shingle stage at sf0.1 (BENCH.md engine finding #7).
+    Catalyst will not collapse the tokenization projection back into the
+    consumer (CollapseProject only inlines cheap expressions referenced
+    more than once).
     """
-    toks = F.split(_c(col), r"\s+")
+    tk = _c(toks_col) if isinstance(toks_col, str) else toks_col
     idx = F.when(
-        F.size(toks) >= k, F.sequence(F.lit(1), F.size(toks) - (k - 1))
+        F.size(tk) >= k, F.sequence(F.lit(1), F.size(tk) - (k - 1))
     ).otherwise(F.array().cast("array<int>"))
-    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tk, i, k)))
+
+
+def word_shingles_expr(col: Column | str = "text", k: int = 3) -> Column:
+    """k-word shingles computed inline from a text column.
+
+    Convenience/compat form.  In hot paths prefer projecting
+    ``split(col, '\\s+')`` to its own column and calling
+    :func:`word_shingles_from_tokens` — the inline split here sits inside
+    an interpreted lambda and re-executes per element (see that
+    function's docstring for the measured cost)."""
+    return word_shingles_from_tokens(F.split(_c(col), r"\s+"), k)
 
 
 def rolling_fingerprint_expr(col: Column | str = "text", k: int = 3, n_keep: int = 4) -> Column:

@@ -29,7 +29,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from hashio_spark.functions.text import word_shingles_expr
 
 
 def exact_duplicates(
@@ -68,14 +67,24 @@ def exact_duplicates(
 
 def minhash_signatures(df: DataFrame, key_col: str, text_col: str, n_perm: int = 16, shingle_k: int = 3) -> DataFrame:
     """(key, sig array<bigint>) — permutation i = min over shingles of
-    xxhash64(i, shingle).  Pure column expressions, no shuffle."""
-    shingles = word_shingles_expr(text_col, shingle_k)
+    xxhash64(i, shingle).  Pure column expressions, no shuffle.
+
+    Staged as three projections (tokens → shingles → signatures) so each
+    intermediate is a bound attribute: higher-order lambdas are
+    interpreted without CSE, so an inline split/shingle tree would be
+    re-executed per array element / per permutation — measured ~6× on
+    this operator at sf0.1 (BENCH.md finding #7).  CollapseProject keeps
+    the stages separate (non-cheap producers referenced repeatedly)."""
+    from hashio_spark.functions.text import word_shingles_from_tokens
+
+    toked = df.select(F.col(key_col).alias("key"), F.split(F.col(text_col), r"\s+").alias("_toks"))
+    shingled = toked.select("key", word_shingles_from_tokens("_toks", shingle_k).alias("_sh"))
 
     def perm(i: int) -> Column:
-        return F.array_min(F.transform(shingles, lambda s: F.xxhash64(F.lit(i), s)))
+        return F.array_min(F.transform(F.col("_sh"), lambda s: F.xxhash64(F.lit(i), s)))
 
     sig = F.array(*[perm(i) for i in range(n_perm)])
-    return df.select(F.col(key_col).alias("key"), sig.alias("sig"))
+    return shingled.select("key", sig.alias("sig"))
 
 
 def lsh_candidate_pairs(
@@ -116,6 +125,11 @@ def lsh_candidate_pairs(
             F.array(*[F.struct(F.lit(i).alias("band_id"), band(i, rows_per_band).alias("band_val")) for i in range(n_bands)])
         ).alias("b"),
     ).select("key", F.col("b.band_id").alias("band_id"), F.col("b.band_val").alias("band_val"))
+    # bands feeds THREE consumers (sizes + both self-join sides); without a
+    # persist Catalyst recomputes the whole minhash upstream per consumer —
+    # measured 33 s → 7 s at sf0.1.  The persisted projection is narrow
+    # (key, band_id, band_val), O(n_docs × n_bands) rows.
+    bands = bands.persist()
 
     sizes = bands.groupBy("band_id", "band_val").agg(F.count(F.lit(1)).alias("n"))
     ok = bands.join(sizes.filter((F.col("n") > 1) & (F.col("n") <= max_band_size)), ["band_id", "band_val"])
@@ -136,9 +150,11 @@ def ngram_jaccard_pairs(
     """Exact shingle-set Jaccard on candidate pairs → (key_a, key_b,
     jaccard).  Two broadcast-able joins bring in each side's shingle set;
     intersection/union via array functions (no UDF, no explode)."""
+    from hashio_spark.functions.text import word_shingles_from_tokens
+
     sets_ = docs.select(
-        F.col(key_col).alias("key"), F.array_distinct(word_shingles_expr(text_col, shingle_k)).alias("sh")
-    )
+        F.col(key_col).alias("key"), F.split(F.col(text_col), r"\s+").alias("_toks")
+    ).select("key", F.array_distinct(word_shingles_from_tokens("_toks", shingle_k)).alias("sh"))
     a = sets_.withColumnRenamed("key", "key_a").withColumnRenamed("sh", "sh_a")
     b = sets_.withColumnRenamed("key", "key_b").withColumnRenamed("sh", "sh_b")
     j = candidates.join(a, "key_a").join(b, "key_b")

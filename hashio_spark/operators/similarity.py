@@ -135,26 +135,36 @@ def neardup_pairs(
             val = val.bitwiseOR(F.when(proj > 0, F.lit(1 << j)).otherwise(F.lit(0)).cast("long"))
         return val
 
+    # norm once per vector (pre-explode); the pair re-rank folds only the
+    # dot product — 3× fewer array folds than per-pair cosine_expr
     bands = keyed.select(
         "key",
         "v",
+        norm2_expr(F.col("v")).alias("nrm"),
         F.explode(
             F.array(*[
                 F.struct(F.lit(i).alias("band_id"), _band_val(i).alias("band_val"))
                 for i in range(n_bands)
             ])
         ).alias("b"),
-    ).select("key", "v", F.col("b.band_id").alias("band_id"), F.col("b.band_val").alias("band_val"))
+    ).select("key", "v", "nrm", F.col("b.band_id").alias("band_id"), F.col("b.band_val").alias("band_val"))
+    # persisted: the plane projections feed sizes + both join sides —
+    # without this each consumer recomputes every hyperplane dot product
+    bands = bands.persist()
     sizes = bands.groupBy("band_id", "band_val").agg(F.count(F.lit(1)).alias("n"))
     ok = bands.join(
         sizes.filter((F.col("n") > 1) & (F.col("n") <= max_bucket)), ["band_id", "band_val"]
-    ).select("key", "v", "band_id", "band_val")
-    a = ok.select(F.col("key").alias("key_a"), F.col("v").alias("v_a"), "band_id", "band_val")
-    b = ok.select(F.col("key").alias("key_b"), F.col("v").alias("v_b"), "band_id", "band_val")
+    ).select("key", "v", "nrm", "band_id", "band_val")
+    a = ok.select(F.col("key").alias("key_a"), F.col("v").alias("v_a"), F.col("nrm").alias("n_a"), "band_id", "band_val")
+    b = ok.select(F.col("key").alias("key_b"), F.col("v").alias("v_b"), F.col("nrm").alias("n_b"), "band_id", "band_val")
     return (
         a.join(b, ["band_id", "band_val"])
         .filter(F.col("key_a") < F.col("key_b"))
-        .select("key_a", "key_b", cosine_expr(F.col("v_a"), F.col("v_b")).alias("cos"))
+        .select(
+            "key_a",
+            "key_b",
+            (dot_expr(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b"))).alias("cos"),
+        )
         .filter(F.col("cos") >= threshold)
         .select("key_a", "key_b", "cos")
         .distinct()

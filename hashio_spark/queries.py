@@ -218,19 +218,28 @@ def minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     crashes ``slice``; DuckDB's ``generate_series(1,0)`` is empty, so the
     guard also keeps the two engines in agreement)."""
     d = _t(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    idx = F.when(F.size(toks) >= 3, F.sequence(F.lit(1), F.size(toks) - 2)).otherwise(
+    # staged projections (tokens → shingles → sigs): inline split/shingle
+    # trees inside interpreted lambdas re-execute per element/permutation
+    # (BENCH.md finding #7); bound attributes are read per row instead
+    toked = d.select("doc_id", F.split(F.col("text"), " ").alias("_toks"))
+    tk = F.col("_toks")
+    idx = F.when(F.size(tk) >= 3, F.sequence(F.lit(1), F.size(tk) - 2)).otherwise(
         F.array().cast("array<int>")
     )
-    shingles = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, 3)))
+    shingled = toked.select(
+        "doc_id", F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tk, i, 3))).alias("_sh")
+    )
+
     def _sig(prefix: str):
         # NB: the lambda must be unary — pyspark's transform() passes
         # (element, index) to binary lambdas, so a default-arg capture
         # (lambda s, k=k: ...) would silently bind k to the index Column.
-        return F.array_min(F.transform(shingles, lambda s: F.md5(F.concat(F.lit(prefix), s).cast("binary"))))
+        return F.array_min(
+            F.transform(F.col("_sh"), lambda s: F.md5(F.concat(F.lit(prefix), s).cast("binary")))
+        )
 
     cols = [F.col("doc_id")] + [_sig(f"{k}|").alias(f"sig{k}") for k in range(4)]
-    return d.select(*cols)
+    return shingled.select(*cols)
 
 
 MINHASH_SIGNATURE_SQL = """
@@ -264,7 +273,10 @@ def dedupe_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = minhash_signature(spark, sf_dir).filter(F.col("sig0").isNotNull())
     b0 = sig.select("doc_id", F.concat_ws("_", F.lit("b0"), "sig0", "sig1").alias("band"))
     b1 = sig.select("doc_id", F.concat_ws("_", F.lit("b1"), "sig2", "sig3").alias("band"))
-    bands = b0.unionByName(b1)
+    # persisted: bands feeds sizes + both self-join sides — without this
+    # the md5 minhash upstream is recomputed per consumer (see
+    # operators/dedupe.lsh_candidate_pairs for the measured effect)
+    bands = b0.unionByName(b1).persist()
     sizes = bands.groupBy("band").agg(F.count(F.lit(1)).alias("n"))
     ok = bands.join(sizes.filter((F.col("n") > 1) & (F.col("n") <= MAX_BAND)), "band")
     a = ok.select(F.col("doc_id").alias("doc_a"), "band")
@@ -696,26 +708,37 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             val = val + F.when(dot > 0, F.lit(1 << j)).otherwise(F.lit(0))
         return val
 
+    # norm computed ONCE per vector (before the band explode); the pair
+    # re-rank then folds only the dot product — 3× fewer array folds than
+    # a cosine that recomputes both norms per candidate pair
+    nrm = F.sqrt(F.aggregate(F.transform(F.col("ve"), lambda x: x * x), F.lit(0.0), lambda a, v: a + v))
     bands = e.select(
         "vec_id",
         "ve",
+        nrm.alias("nrm"),
         F.explode(
             F.array(*[
                 F.struct(F.lit(i).alias("band_id"), _band_val(i).alias("band_val"))
                 for i in range(_NEARDUP_BANDS)
             ])
         ).alias("b"),
-    ).select("vec_id", "ve", F.col("b.band_id").alias("band_id"), F.col("b.band_val").alias("band_val"))
+    ).select("vec_id", "ve", "nrm", F.col("b.band_id").alias("band_id"), F.col("b.band_val").alias("band_val"))
+    # persisted: the 16 plane projections feed sizes + both join sides —
+    # without this each consumer recomputes all dot products
+    bands = bands.persist()
     sizes = bands.groupBy("band_id", "band_val").agg(F.count(F.lit(1)).alias("n"))
     ok = bands.join(
         sizes.filter((F.col("n") > 1) & (F.col("n") <= _NEARDUP_MAX_BUCKET)), ["band_id", "band_val"]
-    ).select("vec_id", "ve", "band_id", "band_val")
-    a = ok.select(F.col("vec_id").alias("a_id"), F.col("ve").alias("a_ve"), "band_id", "band_val")
-    b = ok.select(F.col("vec_id").alias("b_id"), F.col("ve").alias("b_ve"), "band_id", "band_val")
+    ).select("vec_id", "ve", "nrm", "band_id", "band_val")
+    a = ok.select(F.col("vec_id").alias("a_id"), F.col("ve").alias("a_ve"), F.col("nrm").alias("a_n"), "band_id", "band_val")
+    b = ok.select(F.col("vec_id").alias("b_id"), F.col("ve").alias("b_ve"), F.col("nrm").alias("b_n"), "band_id", "band_val")
+    dot = F.aggregate(
+        F.zip_with(F.col("a_ve"), F.col("b_ve"), lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
     return (
         a.join(b, ["band_id", "band_val"])
         .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id", _cosine(F.col("a_ve"), F.col("b_ve")).alias("cos"))
+        .select("a_id", "b_id", (dot / (F.col("a_n") * F.col("b_n"))).alias("cos"))
         .filter(F.col("cos") >= 0.45)
         .select("a_id", "b_id")
         .distinct()
@@ -734,24 +757,25 @@ def _neardup_sql() -> str:
         )
 
     band_selects = "\n  UNION ALL\n".join(
-        f"  SELECT vec_id, ve, {i} AS band_id, {band_val(i)} AS band_val FROM q"
+        f"  SELECT vec_id, ve, nrm, {i} AS band_id, {band_val(i)} AS band_val FROM q"
         for i in range(_NEARDUP_BANDS)
     )
     return f"""
 WITH e AS (SELECT vec_id, cast(embedding AS double[]) AS ve FROM embeddings),
-q AS (SELECT vec_id, ve, list_transform(ve, x -> floor(x * 1000.0)) AS qv FROM e),
+q AS (SELECT vec_id, ve, sqrt(list_dot_product(ve, ve)) AS nrm,
+             list_transform(ve, x -> floor(x * 1000.0)) AS qv FROM e),
 bands AS (
 {band_selects}
 ), sizes AS (
   SELECT band_id, band_val, count(*) AS n FROM bands GROUP BY band_id, band_val
 ), ok AS (
-  SELECT bands.vec_id, bands.ve, bands.band_id, bands.band_val
+  SELECT bands.vec_id, bands.ve, bands.nrm, bands.band_id, bands.band_val
   FROM bands JOIN sizes USING (band_id, band_val)
   WHERE sizes.n > 1 AND sizes.n <= {_NEARDUP_MAX_BUCKET}
 )
 SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
 FROM ok a JOIN ok b ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.vec_id < b.vec_id
-WHERE list_dot_product(a.ve, b.ve) / sqrt(list_dot_product(a.ve, a.ve) * list_dot_product(b.ve, b.ve)) >= 0.45
+WHERE list_dot_product(a.ve, b.ve) / (a.nrm * b.nrm) >= 0.45
 """
 
 

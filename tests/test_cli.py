@@ -74,3 +74,30 @@ def test_validate_list_query_drop_roundtrip(io_dirs, capsys):
     assert capsys.readouterr().out.split() == ["runB"]
     # dropping again reports nothing to delete
     assert main(["drop", "--manifest", io_dirs["manifest"], "--run-id", "runA"]) == 1
+
+
+def test_validate_multi_input_ordered_unique(io_dirs, spark, tmp_path, capsys):
+    """M3: --input is repeatable; duplicate paths are dropped keeping
+    first occurrence (reference cli.py:434); distinct paths union."""
+    # duplicate of the same path: must NOT double the docs
+    rc = main([
+        "validate", "--input", io_dirs["docs"], "--input", io_dirs["docs"],
+        "--catalog", io_dirs["catalog"],
+    ])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["docs"] == 200
+
+    # two distinct paths: union (doc_ids deliberately collide -> the
+    # uniqueness check sees them, proving both inputs were scanned)
+    from hashio_spark.datagen import documents_interleaved
+
+    second = str(tmp_path / "docs2.parquet")
+    documents_interleaved(spark, n_docs=50, n_partitions=2).write.parquet(second)
+    rc = main([
+        "validate", "--input", io_dirs["docs"], "--input", second,
+        "--catalog", io_dirs["catalog"],
+    ])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["docs"] == 250

@@ -158,3 +158,36 @@ def test_xxh3_parity_udf(spark):
         rows = df.select(F.col("t"), parity_udf(algo)(F.col("t")).alias("d")).collect()
         for r in rows:
             assert r["d"] == parity_hexdigest(r["t"], algo)
+
+
+def test_path_type_digest_dispatch(spark):
+    """F12 dispatch: dir -> empty, cached+fresh -> cache hit (content not
+    re-digested), stale/file -> content digest (reference checksum_path,
+    encoder.py:388-412 + cache short-circuit encoder.py:406-430)."""
+    import hashlib
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from hashio_spark.functions.digests import path_type_digest_expr
+
+    rows = [
+        ("f_plain", "file", "alpha", None, False),
+        ("d_dir", "dir", None, None, False),
+        ("f_cached_fresh", "file", "beta", "cachedvalue", True),
+        ("f_cached_stale", "file", "gamma", "stalevalue", False),
+        ("f_cached_null", "file", "delta", None, True),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["name", "kind", "content", "cached", "fresh"])
+    )
+    out = {r["name"]: r["d"] for r in df.select(
+        "name",
+        path_type_digest_expr("kind", "content", "md5", "cached", "fresh").alias("d"),
+    ).collect()}
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    assert out["f_plain"] == md5("alpha")
+    assert out["d_dir"] == ""
+    assert out["f_cached_fresh"] == "cachedvalue"       # cache hit, no recompute
+    assert out["f_cached_stale"] == md5("gamma")        # stale -> recompute
+    assert out["f_cached_null"] == md5("delta")         # fresh but no cache row
