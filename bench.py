@@ -233,21 +233,28 @@ def main() -> None:
     qtimes: dict[str, float] = {}
 
     spark = get_spark(app="bench", cores=CPUS)
+
+    def timed(name, fn):
+        # min-of-2: a fresh plan per pass (finding #4), so the second run
+        # re-executes everything; the min absorbs one hypervisor noise
+        # window and the first-query JIT/codegen warmup
+        best, n = None, 0
+        for _ in range(2):
+            t0 = time.monotonic()
+            n = fn(spark, SF_DIR).count()
+            dt = time.monotonic() - t0
+            best = dt if best is None or dt < best else best
+        qtimes[name] = round(best, 3)
+        print(f"# {name}: {qtimes[name]}s rows={n}", file=sys.stderr)
+
     for name in BENCH_QUERIES:
         fn, _sql = REGISTRY[name]
-        t0 = time.monotonic()
-        df = fn(spark, SF_DIR)
-        n = df.count()
-        qtimes[name] = round(time.monotonic() - t0, 3)
-        print(f"# {name}: {qtimes[name]}s rows={n}", file=sys.stderr)
+        timed(name, fn)
     # production fast-tier variants (xxhash64 token hashing — not DuckDB-
     # replicable, so not REGISTRY queries; benched here to record the
     # native tier's headroom over the oracle-parity md5 variants)
     for name, fn in _fast_tier_queries():
-        t0 = time.monotonic()
-        n = fn(spark, SF_DIR).count()
-        qtimes[name] = round(time.monotonic() - t0, 3)
-        print(f"# {name}: {qtimes[name]}s rows={n}", file=sys.stderr)
+        timed(name, fn)
     spark.stop()
 
     # flagship throughput: N vs 4N cores, interleaved A/B/A/B min-of-all

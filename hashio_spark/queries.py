@@ -468,6 +468,81 @@ FROM d, tot
 """
 
 
+def drift_psi_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group PSI (each event_type's value distribution vs the global
+    even-event baseline) — the per-partition drift check of the north
+    rule, exercised through operators.drift.drift_by_group."""
+    e = _t(spark, sf_dir, "events")
+    actual = e.filter(F.col("event_id") % 2 == 1)
+    baseline = e.filter(F.col("event_id") % 2 == 0)
+    out = drift_ops.drift_by_group(actual, baseline, "value", "event_type", _PSI_LO, _PSI_HI, _PSI_N)
+    return out.select("event_type", F.round(F.col("psi"), 6).alias("psi"))
+
+
+DRIFT_PSI_BY_GROUP_SQL = f"""
+WITH a0 AS (
+  SELECT event_type,
+         least({_PSI_N - 1}, greatest(0, cast(floor((value - {_PSI_LO}) / {_PSI_HI - _PSI_LO} * {_PSI_N}) AS int))) AS bucket,
+         count(*) AS a_cnt
+  FROM events WHERE event_id % 2 = 1 AND value IS NOT NULL GROUP BY 1, 2
+), b0 AS (
+  SELECT least({_PSI_N - 1}, greatest(0, cast(floor((value - {_PSI_LO}) / {_PSI_HI - _PSI_LO} * {_PSI_N}) AS int))) AS bucket,
+         count(*) AS cnt
+  FROM events WHERE event_id % 2 = 0 AND value IS NOT NULL GROUP BY 1
+), spine AS (SELECT unnest(generate_series(0, {_PSI_N - 1})) AS bucket),
+b AS (
+  SELECT spine.bucket, coalesce(b0.cnt, 0) AS b_cnt FROM spine LEFT JOIN b0 USING (bucket)
+), gs AS (SELECT DISTINCT event_type FROM a0),
+aspine AS (SELECT gs.event_type, spine.bucket FROM gs, spine),
+a AS (
+  SELECT aspine.event_type, aspine.bucket, coalesce(a0.a_cnt, 0) AS a_cnt
+  FROM aspine LEFT JOIN a0 ON aspine.event_type = a0.event_type AND aspine.bucket = a0.bucket
+), tot AS (
+  SELECT a.event_type, a.bucket, a.a_cnt, b.b_cnt,
+         sum(a.a_cnt) OVER (PARTITION BY a.event_type) AS a_tot,
+         (SELECT sum(b_cnt) FROM b) AS b_tot
+  FROM a JOIN b USING (bucket)
+)
+SELECT event_type,
+  round(sum((a_cnt / a_tot + 1e-6 - (b_cnt / b_tot + 1e-6)) * ln((a_cnt / a_tot + 1e-6) / (b_cnt / b_tot + 1e-6))), 6) AS psi
+FROM tot GROUP BY event_type
+"""
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style document fingerprint: the 4 smallest md5 shingle
+    hashes concatenated (oracle-portable md5 twin of
+    functions.text.rolling_fingerprint_expr, which uses xxhash64).
+    Shingle-less docs (<3 tokens) fingerprint to the empty string.
+    Staged projections per BENCH.md finding #7."""
+    d = _t(spark, sf_dir, "documents")
+    toked = d.select("doc_id", F.split(F.col("text"), " ").alias("_toks"))
+    tk = F.col("_toks")
+    idx = F.when(F.size(tk) >= 3, F.sequence(F.lit(1), F.size(tk) - 2)).otherwise(
+        F.array().cast("array<int>")
+    )
+    shingled = toked.select(
+        "doc_id", F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tk, i, 3))).alias("_sh")
+    )
+    hashes = F.transform(F.col("_sh"), lambda s: F.md5(s.cast("binary")))
+    fp = F.concat_ws("", F.slice(F.array_sort(hashes), 1, 4))
+    return shingled.select("doc_id", fp.alias("fingerprint"))
+
+
+DOC_FINGERPRINT_SQL = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+s AS (
+  SELECT doc_id,
+    list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
+                   i -> array_to_string(toks[i:i+2], ' ')) AS sh
+  FROM t
+)
+SELECT doc_id,
+  array_to_string((list_sort(list_transform(sh, x -> md5(x))))[1:4], '') AS fingerprint
+FROM s
+"""
+
+
 def drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
     actual = e.filter(F.col("event_id") % 2 == 1)
@@ -1012,7 +1087,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dedupe_manifests": (dedupe_manifests_q, DEDUPE_MANIFESTS_SQL),
     "snapshot_diff": (snapshot_diff_q, SNAPSHOT_DIFF_SQL),
     "drift_psi": (drift_psi, DRIFT_PSI_SQL),
+    "drift_psi_by_group": (drift_psi_by_group, DRIFT_PSI_BY_GROUP_SQL),
     "drift_ks": (drift_ks, DRIFT_KS_SQL),
+    "doc_fingerprint": (doc_fingerprint, DOC_FINGERPRINT_SQL),
     "token_count": (token_count, TOKEN_COUNT_SQL),
     "text_quality": (text_quality, TEXT_QUALITY_SQL),
     "lang_score": (lang_score, LANG_SCORE_SQL),
