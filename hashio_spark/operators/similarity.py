@@ -171,6 +171,88 @@ def neardup_pairs(
     )
 
 
+def ivf_centroids(emb: DataFrame, key_col: str, vec_col: str, n_list: int) -> list[list[float]]:
+    """Deterministic coarse quantizer: the ``n_list`` corpus vectors with
+    the smallest keys become the centroids (a tiny driver-side model,
+    like broadcasting a trained k-means codebook; deterministic so tests
+    and reruns agree).  n_list × dim doubles — KB-scale even at
+    n_list=65536."""
+    rows = (
+        emb.orderBy(key_col).limit(n_list)
+        .select(as_double_vec(vec_col).alias("c"))
+        .collect()
+    )
+    return [list(r["c"]) for r in rows]
+
+
+def _centroid_scores(vec: Column, nrm: Column, centroids: list[list[float]]) -> Column:
+    """array<struct<cos,lid>> — cosine of ``vec`` to every centroid.
+    Centroid norms are Python-precomputed constants; ``vec``/``nrm`` must
+    be bound attributes (BENCH.md finding #7)."""
+    import math
+
+    out = []
+    for i, c in enumerate(centroids):
+        arr = F.array(*[F.lit(float(x)) for x in c])
+        cn = math.sqrt(sum(x * x for x in c)) or 1.0
+        cos = dot_expr(vec, arr) / (nrm * F.lit(cn))
+        out.append(F.struct(cos.alias("cos"), F.lit(i).alias("lid")))
+    return F.array(*out)
+
+
+def ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    key_col: str,
+    vec_col: str,
+    k: int = 10,
+    n_list: int = 16,
+    n_probe: int = 4,
+    query_key: str | None = None,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: corpus rows are assigned to their nearest
+    centroid (inverted lists); each query probes its ``n_probe`` nearest
+    lists and exact-cosine re-ranks only those lists' members.
+
+    Scale shape: assignment is a per-row expression (no shuffle, no
+    model training job — the codebook is a broadcast-sized constant);
+    the only shuffle is the list_id equi-join, whose volume is
+    n_probe/n_list of the corpus per query batch.  Recall is tuned by
+    ``n_probe`` (probe all lists → exact).  At 10^12 rows, n_list grows
+    to ~n/target_list_size and the codebook comes from a proper k-means
+    sample — the plan shape is unchanged."""
+    qk = query_key or key_col
+    if centroids is None:
+        centroids = ivf_centroids(emb, key_col, vec_col, n_list)
+
+    c = emb.select(F.col(key_col).alias("neighbor_id"), as_double_vec(vec_col).alias("cv"))
+    c = c.select("neighbor_id", "cv", norm2_expr(F.col("cv")).alias("cn"))
+    c = c.select(
+        "neighbor_id", "cv", "cn",
+        F.array_max(_centroid_scores(F.col("cv"), F.col("cn"), centroids))["lid"].alias("list_id"),
+    )
+
+    q = queries.select(F.col(qk).alias("query_id"), as_double_vec(vec_col).alias("qv"))
+    q = q.select("query_id", "qv", norm2_expr(F.col("qv")).alias("qn"))
+    probes = F.slice(
+        F.sort_array(_centroid_scores(F.col("qv"), F.col("qn"), centroids), asc=False), 1, n_probe
+    )
+    q = q.select(
+        "query_id", "qv", "qn",
+        F.explode(F.transform(probes, lambda s: s["lid"])).alias("list_id"),
+    )
+
+    cand = c.join(F.broadcast(q), "list_id").filter(F.col("neighbor_id") != F.col("query_id"))
+    s = cand.select(
+        "query_id",
+        "neighbor_id",
+        (dot_expr(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return s.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def lsh_topk(
     emb: DataFrame, queries: DataFrame, key_col: str, vec_col: str, k: int = 10,
     n_planes: int = 8, dim: int = 64, query_key: str | None = None,

@@ -694,14 +694,21 @@ def _emb_double(spark, sf_dir):
 
 
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # corpus norms computed once per row, query norms once per query
+    # (broadcast side) — the pair expression folds only the dot product
     e = _emb_double(spark, sf_dir)
-    q = e.filter(F.col("vec_id").isin(*_ANN_QUERY_IDS)).select(
-        F.col("vec_id").alias("query_id"), F.col("ve").alias("qe")
+    nrm = F.sqrt(F.aggregate(F.transform(F.col("ve"), lambda x: x * x), F.lit(0.0), lambda a, v: a + v))
+    en = e.select("vec_id", "ve", nrm.alias("nrm"))
+    q = en.filter(F.col("vec_id").isin(*_ANN_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"), F.col("ve").alias("qe"), F.col("nrm").alias("qn")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qe"), F.col("ve"), lambda x, y: x * y), F.lit(0.0), lambda a, v: a + v
     )
     s = (
-        e.crossJoin(F.broadcast(q))
+        en.crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", F.col("vec_id").alias("neighbor_id"), _cosine(F.col("qe"), F.col("ve")).alias("cos"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), (dot / (F.col("qn") * F.col("nrm"))).alias("cos"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
@@ -713,11 +720,12 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ANN_COSINE_TOPK_SQL = f"""
 WITH e AS (SELECT vec_id, cast(embedding AS double[]) AS ve FROM embeddings),
-q AS (SELECT vec_id AS query_id, ve AS qe FROM e WHERE vec_id IN {_ANN_QUERY_IDS}),
+en AS (SELECT vec_id, ve, sqrt(list_dot_product(ve, ve)) AS nrm FROM e),
+q AS (SELECT vec_id AS query_id, ve AS qe, nrm AS qn FROM en WHERE vec_id IN {_ANN_QUERY_IDS}),
 s AS (
   SELECT query_id, vec_id AS neighbor_id,
-    list_dot_product(qe, ve) / sqrt(list_dot_product(qe, qe) * list_dot_product(ve, ve)) AS cos
-  FROM e, q WHERE vec_id <> query_id
+    list_dot_product(qe, ve) / (qn * nrm) AS cos
+  FROM en, q WHERE vec_id <> query_id
 )
 SELECT query_id, rank, neighbor_id FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM s

@@ -128,6 +128,21 @@ def test_neardup_pairs_adaptive(embeddings):
     assert {(r["key_a"], r["key_b"]) for r in out} == {(0, 1)}
 
 
+def test_ivf_topk_finds_planted_neighbor(embeddings):
+    """IVF with a deterministic codebook: query 0's planted near-dup
+    (cos≈1) shares its centroid, so any n_probe>=1 finds it; probing all
+    lists reproduces the exact brute-force ranks."""
+    q = embeddings.filter(F.col("vec_id") == 0)
+    out = S.ivf_topk(embeddings, q, "vec_id", "embedding", k=3, n_list=8, n_probe=2).collect()
+    assert any(r["neighbor_id"] == 1 and r["rank"] == 1 for r in out)
+    # n_probe = n_list -> exact: ranks match brute force
+    exact = S.brute_force_topk(embeddings, q, "vec_id", "embedding", k=3).collect()
+    full = S.ivf_topk(embeddings, q, "vec_id", "embedding", k=3, n_list=8, n_probe=8).collect()
+    assert sorted((r["rank"], r["neighbor_id"]) for r in full) == sorted(
+        (r["rank"], r["neighbor_id"]) for r in exact
+    )
+
+
 def test_lsh_topk_recall(embeddings):
     """LSH with few planes must include the planted near-dup for query 0
     (same-bucket probability ~1 for cosine≈1)."""
