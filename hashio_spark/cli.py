@@ -144,6 +144,25 @@ def cmd_query(args) -> int:
     return 0
 
 
+def cmd_drift(args) -> int:
+    """Per-partition PSI between two stored runs' quality histograms —
+    the stored-baseline drift check of the north rule; manifest-sized
+    work, never rescans the document table."""
+    from hashio_spark.operators.drift import manifest_drift
+    from hashio_spark.sources.manifest_store import ManifestStore
+
+    spark = _spark(args)
+    store = ManifestStore(spark, args.manifest)
+    out = manifest_drift(store, args.run_id, args.other_run, threshold=args.threshold)
+    n_drifted = 0
+    for r in out.orderBy("partition_id").collect():
+        mark = "!" if r["drifted"] else " "
+        n_drifted += int(r["drifted"])
+        print(f"{mark} partition={r['partition_id']} psi={r['psi']:.6f}")
+    print(json.dumps({"run_a": args.run_id, "run_b": args.other_run, "drifted_partitions": n_drifted}))
+    return 0
+
+
 def cmd_list(args) -> int:
     """List run snapshots (reference ``--list-snapshots``,
     ``/root/reference/lib/hashio/cli.py:368-377``)."""
@@ -209,6 +228,13 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--path-like", help="glob filter on lineage path (reference wildcard query)")
     q.add_argument("--digest-like", help="glob filter on digest")
     q.set_defaults(fn=cmd_query)
+
+    dft = sub.add_parser("drift", help="per-partition PSI between two stored runs' quality histograms")
+    dft.add_argument("--manifest", required=True)
+    dft.add_argument("--run-id", required=True)
+    dft.add_argument("--other-run", required=True)
+    dft.add_argument("--threshold", type=float, default=0.25)
+    dft.set_defaults(fn=cmd_drift)
 
     ls = sub.add_parser("list", help="list run snapshots (--list-snapshots analog)")
     ls.add_argument("--manifest", required=True)

@@ -108,3 +108,72 @@ def drift_by_group(
     p = F.col("a_cnt") / F.col("a_tot") + F.lit(eps)
     q = F.col("b_cnt") / F.col("b_tot") + F.lit(eps)
     return j.groupBy(group_col).agg(F.sum((p - q) * F.log(p / q)).alias("psi"))
+
+
+def hist_string_agg(col: str, lo: float, hi: float, n_buckets: int = 20) -> F.Column:
+    """Aggregate expression: fixed-width histogram of ``col`` serialized
+    as a comma-joined count string ("c0,c1,...").  Emitted into the
+    validation report so it rides into the manifest's ``stats`` map —
+    the stored-baseline half of the north rule's "drift checks against a
+    stored baseline manifest" (see :func:`manifest_drift`)."""
+    b = bucket_expr(col, lo, hi, n_buckets)
+    counts = [
+        F.sum(F.when(F.col(col).isNotNull() & (b == i), 1).otherwise(0)).cast("string")
+        for i in range(n_buckets)
+    ]
+    return F.concat_ws(",", *counts)
+
+
+def psi_from_hist_pair() -> F.Column:
+    """PSI expression over two BOUND array<double> columns ``_ha``/``_hb``
+    with bound totals ``_ta``/``_tb`` (stage them in a projection first —
+    BENCH.md finding #7).  ε-smoothing matches :func:`psi`."""
+    eps = F.lit(1e-6)
+    p = F.zip_with(F.col("_ha"), F.col("_hb"), lambda a, b: F.struct(a.alias("a"), b.alias("b")))
+    term = F.transform(
+        p,
+        lambda s: (s["a"] / F.col("_ta") + eps - (s["b"] / F.col("_tb") + eps))
+        * F.log((s["a"] / F.col("_ta") + eps) / (s["b"] / F.col("_tb") + eps)),
+    )
+    return F.aggregate(term, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def manifest_drift(
+    store,
+    run_a: str,
+    run_b: str,
+    hist_key: str = "quality_hist",
+    threshold: float = 0.25,
+) -> DataFrame:
+    """Per-partition PSI between two STORED runs' quality histograms —
+    the full stored-baseline drift loop: ``validate()`` emits the
+    histogram → ``manifest_rows`` lands it in the manifest stats map →
+    this compares two snapshots without touching the document table at
+    all (manifest-sized work, independent of corpus size).
+
+    Returns (partition_id, psi, drifted).  Partitions missing the
+    histogram in either run are dropped (older manifests predating the
+    histogram column)."""
+    a = store.snapshot(run_a).select("partition_id", F.col("stats")[hist_key].alias("_sa"))
+    b = store.snapshot(run_b).select("partition_id", F.col("stats")[hist_key].alias("_sb"))
+    j = (
+        a.join(b, "partition_id")
+        .filter(F.col("_sa").isNotNull() & F.col("_sb").isNotNull())
+        .select(
+            "partition_id",
+            F.transform(F.split("_sa", ","), lambda x: x.cast("double")).alias("_ha"),
+            F.transform(F.split("_sb", ","), lambda x: x.cast("double")).alias("_hb"),
+        )
+        .select(
+            "partition_id",
+            "_ha",
+            "_hb",
+            F.aggregate(F.col("_ha"), F.lit(0.0), lambda acc, x: acc + x).alias("_ta"),
+            F.aggregate(F.col("_hb"), F.lit(0.0), lambda acc, x: acc + x).alias("_tb"),
+        )
+        .filter((F.col("_ta") > 0) & (F.col("_tb") > 0))
+    )
+    return j.select(
+        "partition_id",
+        psi_from_hist_pair().alias("psi"),
+    ).withColumn("drifted", F.col("psi") > threshold)

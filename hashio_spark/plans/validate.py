@@ -124,14 +124,35 @@ def validate(
     )
 
     stat_cols = ["doc_id", "n_spans"] + (["quality"] if "quality" in docs.columns else [])
-    report = enriched.groupBy("partition_id").agg(
+    aggs = [
         *stat_aggs(stat_cols),
         group_digest_expr.alias("digest"),
         F.sum(F.size(F.filter(F.transform(spans, lambda s: s["kind"] == "text"), lambda t: t))).alias("text_spans"),
         F.sum(F.size(F.filter(F.transform(spans, lambda s: s["kind"] != "text"), lambda t: t))).alias("media_spans"),
         F.sum((F.col("_n_null_text") > 0).cast("long")).alias("null_text_violations"),
         F.sum((F.col("_n_ooo") > 0).cast("long")).alias("offset_violations"),
-    )
+    ]
+    report = enriched.groupBy("partition_id").agg(*aggs)
+    if "quality" in docs.columns:
+        # per-partition quality histogram, serialized so manifest_rows
+        # carries it into the manifest stats map — the stored baseline
+        # for cross-run PSI (operators.drift.manifest_drift).  Computed
+        # as its OWN aggregation over a (partition_id, quality)-pruned
+        # scan and joined in: inlining its 20 bucket terms into the main
+        # wide aggregate pushed the codegen'd update function past JIT
+        # limits and slowed the WHOLE pass ~40% (measured at 12M docs);
+        # separately the extra pruned pass costs ~2 s.
+        from hashio_spark.operators.drift import bucket_expr
+
+        hb = docs.select(
+            "partition_id", bucket_expr("quality", 0.0, 1.0, 20).alias("_qb")
+        )
+        hist = hb.groupBy("partition_id").agg(
+            F.concat_ws(
+                ",", *[F.sum((F.col("_qb") == i).cast("long")).cast("string") for i in range(20)]
+            ).alias("quality_hist")
+        )
+        report = report.join(hist, "partition_id", "left_outer")
 
     # violation ROWS: span-shape rules reuse the flag columns; uniqueness /
     # referential bring their per-partition counts for the report

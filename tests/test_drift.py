@@ -42,3 +42,45 @@ def test_drift_by_group_ranks_partitions(spark, docs):
     assert worst == DRIFT_PARTITION
     others = [v for k, v in out.items() if k != DRIFT_PARTITION]
     assert out[DRIFT_PARTITION] > 5 * max(others)
+
+
+def test_manifest_drift_stored_baseline_roundtrip(spark, docs, catalog, tmp_path):
+    """Full stored-baseline loop: validate -> manifest (quality_hist in
+    stats map) -> per-partition PSI between two stored runs, with the
+    document table never rescanned.  An identical re-run shows ~0 PSI;
+    a run with shifted quality drifts on every partition."""
+    from hashio_spark.operators.drift import manifest_drift
+    from hashio_spark.plans.validate import manifest_rows, validate
+    from hashio_spark.sources.manifest_store import ManifestStore
+
+    store = ManifestStore(spark, str(tmp_path / "dm"))
+    res_a = validate(docs, catalog)
+    assert "quality_hist" in res_a.report.columns
+    store.merge(manifest_rows(res_a, "base", "md5"))
+    # identical distribution -> psi ~ 0 everywhere
+    store.merge(manifest_rows(validate(docs, catalog), "same", "md5"))
+    same = manifest_drift(store, "base", "same").collect()
+    assert len(same) == 8 and all(not r["drifted"] and abs(r["psi"]) < 1e-6 for r in same)
+    # shift quality into [0.5, 1] -> strong drift on every partition
+    shifted = docs.withColumn("quality", F.col("quality") / 2 + 0.5)
+    store.merge(manifest_rows(validate(shifted, catalog), "shifted", "md5"))
+    drifted = manifest_drift(store, "base", "shifted").collect()
+    assert len(drifted) == 8 and all(r["drifted"] and r["psi"] > 0.25 for r in drifted)
+
+
+def test_cli_drift_subcommand(spark, docs, catalog, tmp_path, capsys):
+    from hashio_spark.cli import main
+    from hashio_spark.plans.validate import manifest_rows, validate
+    from hashio_spark.sources.manifest_store import ManifestStore
+
+    import json as _json
+
+    store = ManifestStore(spark, str(tmp_path / "dmc"))
+    store.merge(manifest_rows(validate(docs, catalog), "a", "md5"))
+    shifted = docs.withColumn("quality", F.col("quality") / 2 + 0.5)
+    store.merge(manifest_rows(validate(shifted, catalog), "b", "md5"))
+    rc = main(["drift", "--manifest", str(tmp_path / "dmc"), "--run-id", "a", "--other-run", "b"])
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert _json.loads(out[-1])["drifted_partitions"] == 8
+    assert sum(1 for ln in out[:-1] if ln.startswith("!")) == 8
