@@ -1,0 +1,92 @@
+"""Property-based tests (hypothesis): the JVM-replica kernels and the
+ignore-pattern semantics hold over adversarial generated inputs, not just
+hand-picked cases."""
+
+import fnmatch
+import re
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from hashio_spark.functions.xxh import spark_xxhash64_str, xxh64_intdigest
+
+
+# -- driver-side kernel properties (no Spark session needed) ------------
+
+
+@given(st.binary(min_size=0, max_size=600), st.integers(min_value=0, max_value=2**64 - 1))
+def test_xxh64_seed_and_data_sensitivity(data, seed):
+    h = xxh64_intdigest(data, seed)
+    assert 0 <= h < 2**64
+    # appending a byte always changes the digest (xxh64 is length-mixed)
+    assert xxh64_intdigest(data + b"\x00", seed) != h
+
+
+@given(st.text(min_size=0, max_size=300))
+def test_spark_xxhash64_replica_is_signed_xxh64_seed42(s):
+    h = spark_xxhash64_str(s)
+    assert -(2**63) <= h < 2**63
+    unsigned = h + (1 << 64) if h < 0 else h
+    assert unsigned == xxh64_intdigest(s.encode("utf-8"), 42)
+
+
+# -- Spark-side properties (one job over a generated batch) -------------
+
+_PATTERNS = ("*.pyc", ".git", ".git/*", ".#*", "*~", "desktop.ini", ".cache", ".cache/*")
+
+
+def _ref_ignored(path: str) -> bool:
+    """Reference model of the reference's semantics: fnmatch FULL match on
+    the basename for bare patterns; for '/'-patterns, full match against
+    any segment-aligned suffix of the path."""
+    base = path.split("/")[-1]
+    for p in _PATTERNS:
+        if "/" not in p:
+            if fnmatch.fnmatchcase(base, p):
+                return True
+        else:
+            parts = path.split("/")
+            for i in range(len(parts)):
+                if fnmatch.fnmatchcase("/".join(parts[i:]), p):
+                    return True
+    return False
+
+
+_seg = st.one_of(
+    st.text(alphabet=list("abcZ09._#~-"), min_size=1, max_size=8),
+    st.sampled_from([".git", ".cache", "a.pyc", "x.git", "b~", ".#c", "desktop.ini", "git"]),
+)
+_paths = st.lists(_seg, min_size=1, max_size=4).map("/".join)
+
+
+@settings(max_examples=30, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(_paths, min_size=1, max_size=40, unique=True))
+def test_ignore_predicate_matches_fnmatch_reference(spark, paths):
+    from hashio_spark.operators.ignore import ignore_predicate
+
+    df = spark.createDataFrame(pd.DataFrame({"path": paths}))
+    got = {
+        r["path"]: r["ig"]
+        for r in df.select("path", ignore_predicate("path", _PATTERNS).alias("ig")).collect()
+    }
+    expected = {p: _ref_ignored(p) for p in paths}
+    assert got == expected
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(
+        st.text(alphabet=st.characters(blacklist_categories=("Cs",)), min_size=0, max_size=60),
+        min_size=1,
+        max_size=25,
+        unique=True,
+    )
+)
+def test_builtin_xxhash64_matches_replica_on_random_unicode(spark, texts):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(pd.DataFrame({"s": texts}))
+    rows = {r["s"]: r["h"] for r in df.select("s", F.xxhash64("s").alias("h")).collect()}
+    for s in texts:
+        assert rows[s] == spark_xxhash64_str(s)
