@@ -131,6 +131,43 @@ def main() -> None:
     )
     sections.append(("q1_pricing_summary", p, notes))
 
+    # 7. doc_fingerprint: pruned scan, staged projections, no Python
+    q = REGISTRY["doc_fingerprint"][0](spark, SF)
+    p = plan_of(q)
+    notes = check(
+        "doc_fingerprint", p,
+        must=[r"ReadSchema: struct<doc_id:bigint,text:string>"],
+        must_not=[r"BatchEvalPython"],
+    )
+    sections.append(("doc_fingerprint (winnowing sketch, pruned scan)", p, notes))
+
+    # 8. drift_psi_by_group: baseline histogram joins broadcast (tiny side)
+    q = REGISTRY["drift_psi_by_group"][0](spark, SF)
+    p = plan_of(q)
+    notes = check(
+        "drift_psi_by_group", p,
+        must=[r"BroadcastHashJoin", r"HashAggregate"],
+        must_not=[r"CartesianProduct"],
+    )
+    sections.append(("drift_psi_by_group (histogram shuffles only)", p, notes))
+
+    # 9. bucketed layout: uniqueness over a bucketed table has NO Exchange
+    from hashio_spark.sources.bucketed import bucketed_self_check, has_exchange, write_bucketed
+
+    write_bucketed(docs_t.select("doc_id", "partition_id"), "t_audit_bucketed", "doc_id", n_buckets=8)
+    try:
+        q = bucketed_self_check(spark, "t_audit_bucketed", "doc_id")
+        p = plan_of(q)
+        notes = []
+        if has_exchange(q):
+            failures.append("bucketed_uniqueness: shuffle Exchange present")
+            notes.append("VIOLATION shuffle Exchange present")
+        else:
+            notes.append("OK no shuffle Exchange (bucketed scan satisfies distribution)")
+        sections.append(("bucketed uniqueness (shuffle-free)", p, notes))
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_audit_bucketed")
+
     with open("PLANS.md", "w") as f:
         f.write("# PLANS — physical-plan audit (auto-generated by tools/plan_audit.py)\n\n")
         f.write("Checked properties per plan; full `.explain('formatted')` output below.\n\n")
