@@ -235,11 +235,15 @@ def main() -> None:
     spark = get_spark(app="bench", cores=CPUS)
 
     def timed(name, fn):
-        # min-of-2: a fresh plan per pass (finding #4), so the second run
-        # re-executes everything; the min absorbs one hypervisor noise
-        # window and the first-query JIT/codegen warmup
+        # min-of-2: a fresh plan per pass (finding #4) AND a cleared
+        # cache — queries that persist() internally (the LSH family)
+        # would otherwise have their second pass served from the
+        # CacheManager (plan-equality lookup), measuring warm-cache
+        # incrementals instead of the operator.  The min then absorbs
+        # one hypervisor noise window / first-query JIT warmup only.
         best, n = None, 0
         for _ in range(2):
+            spark.catalog.clearCache()
             t0 = time.monotonic()
             n = fn(spark, SF_DIR).count()
             dt = time.monotonic() - t0

@@ -93,3 +93,76 @@ def synth_media_table(spark, n: int = 1000, seed: int = 42) -> DataFrame:
             "utf-8",
         ).alias("content"),
     )
+
+
+FRAME_SCHEMA = (
+    "doc_id string, media_ref string, frame_idx int, frame_ts_ms int, "
+    "frame_digest string, width int, height int"
+)
+
+
+def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Video rows → ``n_frames`` evenly-spaced frame rows (frame-sampling
+    plumbing; the actual frame grab is the stubbed decode — swap in
+    ffmpeg/PyAV inside the loop).  Non-video rows are dropped.  One input
+    batch yields n_frames× rows, still Arrow-batched — never per-row
+    Python round trips."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf[pdf["media_kind"] == "video"]
+            if not len(pdf):
+                continue
+            rows = []
+            for doc_id, ref, data in zip(pdf["doc_id"], pdf["media_ref"], pdf["content"]):
+                data = data if data is not None else b""
+                meta = _decode_stub("video", data)
+                dur = meta["duration_ms"]
+                for i in range(n_frames):
+                    ts = (dur * i) // n_frames
+                    # stub "frame grab": digest of (bytes, frame index) —
+                    # deterministic stand-in for the decoded frame tensor
+                    fd = hashlib.md5(data + i.to_bytes(4, "big")).hexdigest()
+                    rows.append((doc_id, ref, i, ts, fd, meta["width"], meta["height"]))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "media_ref", "frame_idx", "frame_ts_ms",
+                         "frame_digest", "width", "height"],
+            )
+
+    return media.mapInPandas(op, schema=FRAME_SCHEMA)
+
+
+RESIZE_SCHEMA = (
+    "doc_id string, media_ref string, width int, height int, "
+    "resized_width int, resized_height int, resized_digest string"
+)
+
+
+def resize_images(media: DataFrame, max_side: int = 256) -> DataFrame:
+    """Image rows → resize-plan rows (aspect-preserving fit into
+    ``max_side``); the pixel work is the stubbed decode — swap in Pillow
+    (``Image.open(BytesIO(b)).thumbnail(...)``) inside the loop.
+    Non-image rows are dropped."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf[pdf["media_kind"] == "image"]
+            if not len(pdf):
+                continue
+            rows = []
+            for doc_id, ref, data in zip(pdf["doc_id"], pdf["media_ref"], pdf["content"]):
+                data = data if data is not None else b""
+                meta = _decode_stub("image", data)
+                w, h = meta["width"], meta["height"]
+                scale = min(1.0, max_side / max(w, h))
+                rw, rh = max(1, int(w * scale)), max(1, int(h * scale))
+                rd = hashlib.md5(data + f"|{rw}x{rh}".encode()).hexdigest()
+                rows.append((doc_id, ref, w, h, rw, rh, rd))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "media_ref", "width", "height",
+                         "resized_width", "resized_height", "resized_digest"],
+            )
+
+    return media.mapInPandas(op, schema=RESIZE_SCHEMA)

@@ -222,3 +222,40 @@ def test_jaccard_fingerprint_simhash_survive_short_docs(short_docs):
     assert len(fp) == 6  # no crash on <k-token docs
     sim = D.simhash64(short_docs, "doc_id", "text").collect()
     assert len(sim) == 6
+
+
+def test_multimodal_frame_sample_and_resize(spark):
+    from hashio_spark.operators.multimodal import (
+        resize_images,
+        sample_frames,
+        synth_media_table,
+    )
+
+    media = synth_media_table(spark, 60)
+    kinds = {r["media_kind"] for r in media.select("media_kind").distinct().collect()}
+    assert "video" in kinds and "image" in kinds
+
+    frames = sample_frames(media, n_frames=4).collect()
+    n_videos = media.filter(F.col("media_kind") == "video").count()
+    assert len(frames) == 4 * n_videos
+    by_ref = {}
+    for r in frames:
+        by_ref.setdefault(r["media_ref"], []).append(r)
+    for ref, rs in by_ref.items():
+        idxs = sorted(x["frame_idx"] for x in rs)
+        assert idxs == [0, 1, 2, 3]
+        # evenly spaced, monotonic timestamps; distinct frame digests
+        ts = [x["frame_ts_ms"] for x in sorted(rs, key=lambda x: x["frame_idx"])]
+        assert ts == sorted(ts) and ts[0] == 0
+        assert len({x["frame_digest"] for x in rs}) == 4
+
+    resized = resize_images(media, max_side=100).collect()
+    n_images = media.filter(F.col("media_kind") == "image").count()
+    assert len(resized) == n_images
+    for r in resized:
+        assert max(r["resized_width"], r["resized_height"]) <= 100
+        # aspect ratio preserved within integer rounding
+        assert abs(r["resized_width"] / r["resized_height"] - r["width"] / r["height"]) < 0.05
+    # determinism
+    again = resize_images(media, max_side=100).collect()
+    assert sorted(map(tuple, resized)) == sorted(map(tuple, again))
