@@ -137,3 +137,34 @@ def all_constraint_violations(
     if catalog is not None:
         out = out.unionByName(dangling_refs(docs, catalog, broadcast_catalog))
     return out
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    n_salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-proof equi-join: salt the BIG side's rows into ``n_salt``
+    sub-keys and replicate the small side once per salt, so one hot key's
+    rows spread over ``n_salt`` reducers instead of pinning a single
+    straggler task (the manual form of what AQE's skew-join split does at
+    runtime — use this when the skew is KNOWN up front, e.g. a boilerplate
+    media_ref referenced by a large fraction of all docs, so the plan
+    never materializes the skewed partition at all).
+
+    Cost: the small side is duplicated ``n_salt`` × (keep it the genuinely
+    small side); the join output is identical to the unsalted join.
+    Deterministic: the salt is ``pmod(xxhash64(monotonically_increasing_id))``
+    — per-row, not data-dependent, so hot-key rows are spread evenly.
+    """
+    if how not in ("inner", "left", "left_outer"):
+        raise ValueError(f"salted_join supports inner/left joins, got {how!r}")
+    b = big.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salt)).cast("int")
+    )
+    s = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0).cast("int"), F.lit(n_salt - 1).cast("int")))
+    )
+    return b.join(s, [key, "_salt"], how).drop("_salt")

@@ -230,3 +230,34 @@ def test_iceberg_merge_sql_shape():
     # INSERT-OR-IGNORE flavor: no UPDATE clause at all
     sql_ig = iceberg_merge_sql("cat.db.manifest", "updates", prefer_new=False)
     assert "WHEN MATCHED" not in sql_ig and "WHEN NOT MATCHED THEN INSERT" in sql_ig
+
+
+def test_salted_join_matches_plain_join(spark):
+    """Skew fixture: 90% of big rows share one hot key; the salted join
+    must return exactly the plain join's rows while spreading the hot key
+    over n_salt sub-keys."""
+    import pandas as pd
+
+    from hashio_spark.operators.constraints import salted_join
+
+    big = spark.createDataFrame(pd.DataFrame({
+        "k": ["hot"] * 900 + [f"k{i}" for i in range(100)],
+        "v": list(range(1000)),
+    }))
+    small = spark.createDataFrame(pd.DataFrame({
+        "k": ["hot"] + [f"k{i}" for i in range(0, 100, 2)] + ["absent"],
+        "w": list(range(52)),
+    }))
+    plain = {(r["k"], r["v"], r["w"]) for r in big.join(small, "k").collect()}
+    salted = [
+        (r["k"], r["v"], r["w"]) for r in salted_join(big, small, "k", n_salt=8).collect()
+    ]
+    assert set(salted) == plain and len(salted) == len(plain)
+    # left join keeps unmatched big rows exactly once
+    plain_l = sorted(
+        (r["k"], r["v"], r["w"]) for r in big.join(small, "k", "left").collect()
+    )
+    salted_l = sorted(
+        (r["k"], r["v"], r["w"]) for r in salted_join(big, small, "k", n_salt=8, how="left").collect()
+    )
+    assert salted_l == plain_l
