@@ -90,3 +90,30 @@ def test_builtin_xxhash64_matches_replica_on_random_unicode(spark, texts):
     rows = {r["s"]: r["h"] for r in df.select("s", F.xxhash64("s").alias("h")).collect()}
     for s in texts:
         assert rows[s] == spark_xxhash64_str(s)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(
+        st.tuples(
+            st.text(alphabet=list("abc012"), min_size=0, max_size=6),
+            st.text(alphabet=list("0123456789abcdef"), min_size=4, max_size=8),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_composite_digest_matches_python_replica(spark, pairs):
+    """composite_digest_expr == the reference formula computed driver-side:
+    md5 over '\\n'.join(f'{key}:{hash}') with pairs tuple-sorted
+    (encoder.py:447-460 semantics) — for arbitrary generated groups,
+    including duplicate keys and empty strings."""
+    import hashlib
+
+    from hashio_spark.functions.canonical import composite_digest_expr
+
+    pdf = pd.DataFrame(pairs, columns=["k", "h"])
+    df = spark.createDataFrame(pdf)
+    got = df.agg(composite_digest_expr("k", "h", "md5").alias("d")).first()["d"]
+    lines = "\n".join(f"{k}:{h}" for k, h in sorted(pairs))
+    assert got == hashlib.md5(lines.encode()).hexdigest()
