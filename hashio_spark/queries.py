@@ -317,6 +317,70 @@ FROM ok a JOIN ok b ON a.band = b.band AND a.doc_id < b.doc_id
 """
 
 
+def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shingle-set Jaccard verification of the LSH candidate pairs
+    (the verify stage of the near-dup pipeline): candidates from
+    :func:`dedupe_minhash_lsh`, shingle sets rebuilt per side, pairs kept
+    at jaccard >= 0.2.  Staged projections per BENCH.md finding #7."""
+    cand = dedupe_minhash_lsh(spark, sf_dir)
+    d = _t(spark, sf_dir, "documents")
+    toked = d.select("doc_id", F.split(F.col("text"), " ").alias("_toks"))
+    tk = F.col("_toks")
+    idx = F.when(F.size(tk) >= 3, F.sequence(F.lit(1), F.size(tk) - 2)).otherwise(
+        F.array().cast("array<int>")
+    )
+    sets_ = toked.select(
+        "doc_id",
+        F.array_distinct(F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tk, i, 3)))).alias("sh"),
+    )
+    a = sets_.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sets_.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    j = cand.join(a, "doc_a").join(b, "doc_b")
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double")
+    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b"))).cast("double")
+    return (
+        j.select("doc_a", "doc_b", F.round(inter / union, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.2)
+    )
+
+
+NGRAM_JACCARD_SQL = f"""
+WITH s AS (
+  SELECT doc_id,
+    list_transform(generate_series(1, greatest(len(string_split(text,' ')) - 2, 0)),
+                   i -> array_to_string((string_split(text,' '))[i:i+2], ' ')) AS shingles
+  FROM documents
+), sig AS (
+  SELECT doc_id,
+    list_min(list_transform(shingles, x -> md5(concat('0|', x)))) AS sig0,
+    list_min(list_transform(shingles, x -> md5(concat('1|', x)))) AS sig1,
+    list_min(list_transform(shingles, x -> md5(concat('2|', x)))) AS sig2,
+    list_min(list_transform(shingles, x -> md5(concat('3|', x)))) AS sig3
+  FROM s
+), bands AS (
+  SELECT doc_id, concat('b0', '_', sig0, '_', sig1) AS band FROM sig WHERE sig0 IS NOT NULL
+  UNION ALL
+  SELECT doc_id, concat('b1', '_', sig2, '_', sig3) AS band FROM sig WHERE sig0 IS NOT NULL
+), sizes AS (
+  SELECT band, count(*) AS n FROM bands GROUP BY band
+), ok AS (
+  SELECT bands.doc_id, bands.band FROM bands JOIN sizes USING (band)
+  WHERE sizes.n > 1 AND sizes.n <= 64
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM ok a JOIN ok b ON a.band = b.band AND a.doc_id < b.doc_id
+), sets AS (
+  SELECT doc_id, list_distinct(shingles) AS sh FROM s
+)
+SELECT doc_a, doc_b,
+  round(cast(len(list_intersect(sa.sh, sb.sh)) AS double)
+        / cast(len(list_distinct(list_concat(sa.sh, sb.sh))) AS double), 6) AS jaccard
+FROM cand JOIN sets sa ON cand.doc_a = sa.doc_id JOIN sets sb ON cand.doc_b = sb.doc_id
+WHERE round(cast(len(list_intersect(sa.sh, sb.sh)) AS double)
+        / cast(len(list_distinct(list_concat(sa.sh, sb.sh))) AS double), 6) >= 0.2
+"""
+
+
 # ---------------------------------------------------------------------------
 # Verify / diff (SURVEY §2.4 J3, J5/J6)
 # ---------------------------------------------------------------------------
@@ -1091,6 +1155,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dedupe_exact": (dedupe_exact, DEDUPE_EXACT_SQL),
     "minhash_signature": (minhash_signature, MINHASH_SIGNATURE_SQL),
     "dedupe_minhash_lsh": (dedupe_minhash_lsh, DEDUPE_MINHASH_LSH_SQL),
+    "ngram_jaccard": (ngram_jaccard, NGRAM_JACCARD_SQL),
     "verify_manifest": (verify_manifest_q, VERIFY_MANIFEST_SQL),
     "dedupe_manifests": (dedupe_manifests_q, DEDUPE_MANIFESTS_SQL),
     "snapshot_diff": (snapshot_diff_q, SNAPSHOT_DIFF_SQL),
