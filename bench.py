@@ -52,6 +52,9 @@ BENCH_QUERIES = [
     "composite_digest",
     "dedupe_exact",
     "dedupe_minhash_lsh",
+    "ngram_jaccard",
+    "doc_fingerprint",
+    "drift_psi_by_group",
     "verify_manifest",
     "dedupe_manifests",
     "snapshot_diff",

@@ -45,6 +45,12 @@ def write_hash_json(df: DataFrame, path: str, key_col: str, algo: str,
                     digest_col: str = "digest", meta_cols: tuple[str, ...] = ()) -> None:
     """Write a reference-byte-compatible HASH.json manifest."""
     entries = to_manifest_entries(df, key_col, algo, digest_col, meta_cols)
+    if not entries:
+        # the trailing-comma fixup below would otherwise truncate the
+        # "{\n" header and leave invalid JSON for an empty manifest
+        with open(path, "w") as f:
+            f.write("{\n}")
+        return
     with open(path, "w") as f:
         f.write("{\n")
         for k, entry in entries:

@@ -137,3 +137,14 @@ def test_exporter_registry_dispatch(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="no exporter registered"):
         EXPORTERS.write(df, str(tmp_path / "m.nope"), "doc_id")
+
+
+def test_hash_json_empty_manifest_is_valid_json(spark, tmp_path):
+    """Empty input must still produce parseable JSON — the trailing-comma
+    fixup used to truncate the header and leave '\\n}'."""
+    from hashio_spark.sources.exporters import read_hash_json, write_hash_json
+
+    df = spark.createDataFrame([], "doc_id string, digest string")
+    p = str(tmp_path / "empty.json")
+    write_hash_json(df, p, "doc_id", "md5")
+    assert read_hash_json(p) == {}
