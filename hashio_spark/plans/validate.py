@@ -38,7 +38,7 @@ from hashio_spark.functions.canonical import (
     composite_digest_expr,
     doc_digest_expr,
 )
-from hashio_spark.operators.stats import stat_aggs
+from hashio_spark.operators.stats import minmax_aggs, stat_aggs
 
 
 @dataclass
@@ -124,8 +124,19 @@ def validate(
     )
 
     stat_cols = ["doc_id", "n_spans"] + (["quality"] if "quality" in docs.columns else [])
+    # String-typed stat columns would drag the wide aggregation (which
+    # carries the spans payload) down to SortAggregate — their min/max is
+    # deferred to the column-pruned side aggregation below (r03 VERDICT
+    # "What's wrong #1"); everything left here is hash-aggregable, so the
+    # main agg is a HashAggregate partial/final pair with map-side combine.
+    from pyspark.sql.types import StringType
+
+    str_stat_cols = [
+        c for c in stat_cols
+        if c in docs.columns and isinstance(docs.schema[c].dataType, StringType)
+    ]
     aggs = [
-        *stat_aggs(stat_cols),
+        *stat_aggs(stat_cols, skip_minmax=frozenset(str_stat_cols)),
         group_digest_expr.alias("digest"),
         F.sum(F.size(F.filter(F.transform(spans, lambda s: s["kind"] == "text"), lambda t: t))).alias("text_spans"),
         F.sum(F.size(F.filter(F.transform(spans, lambda s: s["kind"] != "text"), lambda t: t))).alias("media_spans"),
@@ -133,26 +144,43 @@ def validate(
         F.sum((F.col("_n_ooo") > 0).cast("long")).alias("offset_violations"),
     ]
     report = enriched.groupBy("partition_id").agg(*aggs)
-    if "quality" in docs.columns:
-        # per-partition quality histogram, serialized so manifest_rows
-        # carries it into the manifest stats map — the stored baseline
-        # for cross-run PSI (operators.drift.manifest_drift).  Computed
-        # as its OWN aggregation over a (partition_id, quality)-pruned
-        # scan and joined in: inlining its 20 bucket terms into the main
-        # wide aggregate pushed the codegen'd update function past JIT
-        # limits and slowed the WHOLE pass ~40% (measured at 12M docs);
-        # separately the extra pruned pass costs ~2 s.
+
+    # ---- column-pruned side aggregation ------------------------------
+    # ONE narrow scan carries both (a) the deferred string min/max (its
+    # SortAggregate now sorts (partition_id, doc_id) rows, not full-width
+    # rows with the spans payload) and (b) the per-partition quality
+    # histogram serialized for manifest_rows — the stored baseline for
+    # cross-run PSI (operators.drift.manifest_drift).  The histogram's 20
+    # bucket terms stay out of the wide aggregate on purpose: inlining
+    # them pushed the codegen'd update function past JIT limits and
+    # slowed the WHOLE pass ~40% (measured at 12M docs); the pruned side
+    # pass costs ~2 s at that scale.
+    has_quality = "quality" in docs.columns
+    side_aggs = minmax_aggs(str_stat_cols)
+    side_sel = [F.col("partition_id"), *[F.col(c) for c in str_stat_cols]]
+    if has_quality:
         from hashio_spark.operators.drift import bucket_expr
 
-        hb = docs.select(
-            "partition_id", bucket_expr("quality", 0.0, 1.0, 20).alias("_qb")
-        )
-        hist = hb.groupBy("partition_id").agg(
+        side_sel.append(bucket_expr("quality", 0.0, 1.0, 20).alias("_qb"))
+        side_aggs.append(
             F.concat_ws(
                 ",", *[F.sum((F.col("_qb") == i).cast("long")).cast("string") for i in range(20)]
             ).alias("quality_hist")
         )
-        report = report.join(hist, "partition_id", "left_outer")
+    if side_aggs:
+        side = docs.select(*side_sel).groupBy("partition_id").agg(*side_aggs)
+        report = report.join(side, "partition_id", "left_outer")
+
+    # restore the canonical column order (per-column stats interleaved,
+    # as stat_aggs emitted before the min/max split)
+    ordered = ["partition_id", "row_count"]
+    for c in stat_cols:
+        ordered += [f"{c}_nulls", f"{c}_min", f"{c}_max", f"{c}_approx_distinct"]
+    ordered += ["digest", "text_spans", "media_spans", "null_text_violations", "offset_violations"]
+    if has_quality:
+        ordered.append("quality_hist")
+    ordered += [c for c in report.columns if c not in ordered]  # never drop
+    report = report.select(*[c for c in ordered if c in report.columns])
 
     # violation ROWS: span-shape rules reuse the flag columns; uniqueness /
     # referential bring their per-partition counts for the report
