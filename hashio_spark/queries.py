@@ -87,8 +87,14 @@ def top_revenue_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum(_dec("o_totalprice")).cast("double"), 2).alias("revenue"),
              F.count(F.lit(1)).alias("n_orders"))
     )
+    # top-k via orderBy+limit → TakeOrderedAndProject (per-partition
+    # heaps, driver merge of k rows) instead of a global row_number()
+    # window, which funnels EVERY customer row through one task's sort.
+    # The rank is stamped afterwards: the window now runs over the 10
+    # surviving rows, not the corpus (r03 VERDICT "What's wrong #2").
+    top = rev.orderBy(F.col("revenue").desc(), F.col("c_custkey")).limit(10)
     w = Window.orderBy(F.col("revenue").desc(), F.col("c_custkey"))
-    return rev.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 10)
+    return top.withColumn("rank", F.row_number().over(w))
 
 
 TOP_REVENUE_SQL = """
