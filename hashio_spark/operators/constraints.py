@@ -145,6 +145,7 @@ def salted_join(
     key: str,
     n_salt: int = 8,
     how: str = "inner",
+    salt_on: str | None = None,
 ) -> DataFrame:
     """Skew-proof equi-join: salt the BIG side's rows into ``n_salt``
     sub-keys and replicate the small side once per salt, so one hot key's
@@ -156,13 +157,26 @@ def salted_join(
 
     Cost: the small side is duplicated ``n_salt`` × (keep it the genuinely
     small side); the join output is identical to the unsalted join.
-    Deterministic: the salt is ``pmod(xxhash64(monotonically_increasing_id))``
-    — per-row, not data-dependent, so hot-key rows are spread evenly.
+
+    The salt is derived from ROW CONTENT — ``xxhash64`` over ``salt_on``
+    (a caller-supplied high-cardinality column, e.g. a row id) or, by
+    default, every big-side column.  A content-derived salt is stable
+    under stage retry: a recomputed map task assigns each row the same
+    salt its first attempt did, so reducers that already fetched outputs
+    stay consistent.  Salting on ``monotonically_increasing_id()`` or
+    ``rand()`` would NOT be — those depend on partition layout / row
+    order at execution time, and a post-failure recompute can route rows
+    to different reducers than the surviving shuffle outputs did
+    (duplicated or lost join rows; the SPARK-23207 class of hazard).
+    Caveat: rows that are bytewise identical across the salt source share
+    a salt, so a hot key whose rows are full duplicates still skews —
+    pass ``salt_on`` naming a column that distinguishes them.
     """
     if how not in ("inner", "left", "left_outer"):
         raise ValueError(f"salted_join supports inner/left joins, got {how!r}")
+    salt_src = [F.col(salt_on)] if salt_on else [F.col(c) for c in big.columns]
     b = big.withColumn(
-        "_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salt)).cast("int")
+        "_salt", F.pmod(F.xxhash64(*salt_src), F.lit(n_salt)).cast("int")
     )
     s = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0).cast("int"), F.lit(n_salt - 1).cast("int")))

@@ -135,19 +135,24 @@ def lsh_candidate_pairs(
     # bands feeds THREE consumers (sizes + both self-join sides); without a
     # persist Catalyst recomputes the whole minhash upstream per consumer —
     # measured 33 s → 7 s at sf0.1.  The persisted projection is narrow
-    # (key, band_id, band_val), O(n_docs × n_bands) rows.
+    # (key, band_id, band_val), O(n_docs × n_bands) rows.  The handle is
+    # tracked on the returned DataFrame: callers release it after their
+    # consuming action via hashio_spark.caching.release(result).
     bands = bands.persist()
 
     sizes = bands.groupBy("band_id", "band_val").agg(F.count(F.lit(1)).alias("n"))
     ok = bands.join(sizes.filter((F.col("n") > 1) & (F.col("n") <= max_band_size)), ["band_id", "band_val"])
     a = ok.select(F.col("key").alias("key_a"), "band_id", "band_val")
     b = ok.select(F.col("key").alias("key_b"), "band_id", "band_val")
-    return (
+    out = (
         a.join(b, ["band_id", "band_val"])
         .filter(F.col("key_a") < F.col("key_b"))
         .select("key_a", "key_b")
         .distinct()
     )
+    from hashio_spark.caching import track
+
+    return track(out, bands)
 
 
 def ngram_jaccard_pairs(

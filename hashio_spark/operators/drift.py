@@ -153,7 +153,11 @@ def manifest_drift(
 
     Returns (partition_id, psi, drifted).  Partitions missing the
     histogram in either run are dropped (older manifests predating the
-    histogram column)."""
+    histogram column); so are partitions whose two histograms have
+    different bucket counts (manifests written by different engine
+    versions) — ``zip_with`` would null-pad the shorter side, the PSI
+    would aggregate to NULL, and consumers formatting ``psi``/``drifted``
+    would crash on the null."""
     a = store.snapshot(run_a).select("partition_id", F.col("stats")[hist_key].alias("_sa"))
     b = store.snapshot(run_b).select("partition_id", F.col("stats")[hist_key].alias("_sb"))
     j = (
@@ -172,8 +176,13 @@ def manifest_drift(
             F.aggregate(F.col("_hb"), F.lit(0.0), lambda acc, x: acc + x).alias("_tb"),
         )
         .filter((F.col("_ta") > 0) & (F.col("_tb") > 0))
+        .filter(F.size("_ha") == F.size("_hb"))
     )
-    return j.select(
-        "partition_id",
-        psi_from_hist_pair().alias("psi"),
-    ).withColumn("drifted", F.col("psi") > threshold)
+    return (
+        j.select(
+            "partition_id",
+            psi_from_hist_pair().alias("psi"),
+        )
+        .filter(F.col("psi").isNotNull())
+        .withColumn("drifted", F.col("psi") > threshold)
+    )

@@ -7,8 +7,10 @@ compiled regex-union predicate pushed into the scan filter: Catalyst
 evaluates one ``RLIKE`` per row inside codegen, and — when the filtered
 column is a partition column — prunes whole partitions before any I/O.
 
-Patterns are fnmatch-style globs matched against the LAST path segment
-(basename) or, when they contain ``/``, the full path.
+Patterns are fnmatch-style globs full-matched against ANY path segment
+or, when they contain ``/``, a segment-aligned suffix of the full path
+(see :func:`ignore_predicate` for the deliberate divergence from the
+reference's raw suffix-search semantics).
 """
 
 from __future__ import annotations
@@ -69,28 +71,44 @@ def ignore_patterns() -> tuple[str, ...]:
 def ignore_predicate(path_col: Column | str, patterns: tuple[str, ...] | None = None) -> Column:
     """TRUE for rows whose path matches any ignore pattern.
 
-    Bare patterns match the basename; patterns containing ``/`` match a
-    path suffix aligned at a segment boundary.  Compiled into two regex
-    unions → two ``RLIKE`` ops per row regardless of pattern count.
+    Bare patterns full-match ANY path segment (so ``.git`` drops both the
+    ``.git`` entry and everything under a ``.git/`` directory); patterns
+    containing ``/`` match a path suffix aligned at a segment boundary.
+    Compiled into two regex unions → two ``RLIKE`` ops per row regardless
+    of pattern count.
 
     Anchoring: ``fnmatch.translate`` end-anchors only (``...\\Z``), while
-    ``RLIKE`` uses unanchored find() semantics — without a start anchor
-    every pattern degrades to a suffix match (``.git`` would drop a
-    legitimate file named ``foo.git``; round-2 ADVICE).  Basename
-    alternatives are therefore ``\\A``-anchored (fnmatch FULL-match
-    semantics, like the reference's ``fnmatch.fnmatch`` on basenames);
-    path alternatives anchor at start-of-string OR just after a ``/`` so
-    ``a/.git/config`` still matches ``.git/*`` but ``my.git/x`` does not
-    match it via the ``.git`` prefix.
+    ``RLIKE`` uses unanchored find() semantics — without anchoring every
+    pattern degrades to a raw suffix match.  Bare alternatives are
+    anchored at segment boundaries on BOTH sides (start-of-string or
+    after ``/``; before ``/`` or end), so ``.git`` never drops a
+    legitimate file named ``foo.git`` (round-2 ADVICE) but does drop
+    ``a/.git/config``; path alternatives anchor at start-of-string OR
+    just after a ``/`` and keep translate's end anchor.
+
+    DELIBERATE divergence from the reference: its ``is_ignorable``
+    (``/root/reference/lib/hashio/utils.py:129-136``) does ``re.search``
+    of end-anchored patterns over the FULL path — raw suffix-match
+    semantics under which ``.git`` also drops ``foo.git`` and ``.cache``
+    drops ``a.cache``.  Segment-boundary matching keeps the part users
+    rely on (whole ignored directories, via the dotall ``.*`` in globs
+    like ``venv*`` consuming the rest of the path) while not inheriting
+    those accidental substring hits.
     """
     pats = patterns if patterns is not None else ignore_patterns()
     c = F.col(path_col) if isinstance(path_col, str) else path_col
+
+    def body(r: str) -> str:
+        # fnmatch.translate emits '(?s:...)\Z'; strip the end anchor so
+        # the alternative can compose with our own boundary anchors
+        return r[:-2] if r.endswith("\\Z") else r
+
     base_regexes = [fnmatch.translate(p) for p in pats if "/" not in p]
     full_regexes = [fnmatch.translate(p) for p in pats if "/" in p]
     pred = F.lit(False)
     if base_regexes:
-        union = "|".join(f"(?:\\A{r})" for r in base_regexes)
-        pred = pred | F.element_at(F.split(c, "/"), -1).rlike(union)
+        union = "|".join(f"(?:(?:\\A|(?<=/)){body(r)}(?=/|\\z))" for r in base_regexes)
+        pred = pred | c.rlike(union)
     if full_regexes:
         union = "|".join(f"(?:(?:\\A|(?<=/)){r})" for r in full_regexes)
         pred = pred | c.rlike(union)

@@ -149,7 +149,8 @@ def neardup_pairs(
         ).alias("b"),
     ).select("key", "v", "nrm", F.col("b.band_id").alias("band_id"), F.col("b.band_val").alias("band_val"))
     # persisted: the plane projections feed sizes + both join sides —
-    # without this each consumer recomputes every hyperplane dot product
+    # without this each consumer recomputes every hyperplane dot product.
+    # Handle tracked on the result; release via caching.release(result).
     bands = bands.persist()
     sizes = bands.groupBy("band_id", "band_val").agg(F.count(F.lit(1)).alias("n"))
     ok = bands.join(
@@ -157,7 +158,7 @@ def neardup_pairs(
     ).select("key", "v", "nrm", "band_id", "band_val")
     a = ok.select(F.col("key").alias("key_a"), F.col("v").alias("v_a"), F.col("nrm").alias("n_a"), "band_id", "band_val")
     b = ok.select(F.col("key").alias("key_b"), F.col("v").alias("v_b"), F.col("nrm").alias("n_b"), "band_id", "band_val")
-    return (
+    out = (
         a.join(b, ["band_id", "band_val"])
         .filter(F.col("key_a") < F.col("key_b"))
         .select(
@@ -169,6 +170,9 @@ def neardup_pairs(
         .select("key_a", "key_b", "cos")
         .distinct()
     )
+    from hashio_spark.caching import track
+
+    return track(out, bands)
 
 
 def ivf_centroids(emb: DataFrame, key_col: str, vec_col: str, n_list: int) -> list[list[float]]:

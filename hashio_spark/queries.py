@@ -287,12 +287,15 @@ def dedupe_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ok = bands.join(sizes.filter((F.col("n") > 1) & (F.col("n") <= MAX_BAND)), "band")
     a = ok.select(F.col("doc_id").alias("doc_a"), "band")
     b = ok.select(F.col("doc_id").alias("doc_b"), "band")
-    return (
+    out = (
         a.join(b, "band")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
     )
+    from hashio_spark.caching import track
+
+    return track(out, bands)
 
 
 DEDUPE_MINHASH_LSH_SQL = """
@@ -888,7 +891,7 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dot = F.aggregate(
         F.zip_with(F.col("a_ve"), F.col("b_ve"), lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
     )
-    return (
+    out = (
         a.join(b, ["band_id", "band_val"])
         .filter(F.col("a_id") < F.col("b_id"))
         .select("a_id", "b_id", (dot / (F.col("a_n") * F.col("b_n"))).alias("cos"))
@@ -896,6 +899,9 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a_id", "b_id")
         .distinct()
     )
+    from hashio_spark.caching import track
+
+    return track(out, bands)
 
 
 def _neardup_sql() -> str:

@@ -259,3 +259,27 @@ def test_multimodal_frame_sample_and_resize(spark):
     # determinism
     again = resize_images(media, max_side=100).collect()
     assert sorted(map(tuple, resized)) == sorted(map(tuple, again))
+
+
+def test_lsh_persisted_intermediate_released(spark):
+    """Operators persist an internal banding; the handle rides the result
+    and caching.release drops it (round-3 ADVICE: repeated calls from a
+    long-lived driver accumulated cached RDDs until LRU eviction)."""
+    import pandas as pd
+
+    from hashio_spark.caching import release
+    from hashio_spark.operators.dedupe import lsh_candidate_pairs, minhash_signatures
+
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [f"d{i}" for i in range(40)],
+        "text": ["the quick brown fox jumps over the lazy dog"] * 20
+                + [f"unique text number {i} with words {i*7}" for i in range(20)],
+    }))
+    sig = minhash_signatures(df, "doc_id", "text", n_perm=4)
+    pairs = lsh_candidate_pairs(sig, n_bands=2, n_perm=4)
+    pairs.count()
+    handles = getattr(pairs, "_hashio_persisted", ())
+    assert handles and all(h.storageLevel.useMemory for h in handles)
+    release(pairs)
+    assert all(not h.storageLevel.useMemory for h in handles)
+    assert getattr(pairs, "_hashio_persisted", ()) == ()

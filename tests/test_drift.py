@@ -84,3 +84,27 @@ def test_cli_drift_subcommand(spark, docs, catalog, tmp_path, capsys):
     out = capsys.readouterr().out.strip().splitlines()
     assert _json.loads(out[-1])["drifted_partitions"] == 8
     assert sum(1 for ln in out[:-1] if ln.startswith("!")) == 8
+
+
+def test_manifest_drift_mismatched_bucket_counts_dropped(spark, tmp_path):
+    """Histograms with different bucket counts (manifests written by
+    different engine versions) are dropped, never surfaced as NULL psi —
+    a NULL here crashed cmd_drift's formatting (round-3 ADVICE)."""
+    import datetime
+
+    from hashio_spark.operators.drift import manifest_drift
+    from hashio_spark.sources.manifest_store import MANIFEST_SCHEMA, ManifestStore
+
+    store = ManifestStore(spark, str(tmp_path / "dmm"))
+    now = datetime.datetime(2026, 1, 1)
+
+    def row(run, part, hist):
+        return (run, part, "md5", "d", 10, {"quality_hist": hist}, "", now)
+
+    store.merge(spark.createDataFrame(
+        [row("a", 0, "1,2,3,4"), row("a", 1, "4,3,2,1")], MANIFEST_SCHEMA))
+    store.merge(spark.createDataFrame(
+        [row("b", 0, "1,2,3"), row("b", 1, "1,2,3,4")], MANIFEST_SCHEMA))
+    out = manifest_drift(store, "a", "b").collect()
+    assert [r["partition_id"] for r in out] == [1]
+    assert all(r["psi"] is not None and r["drifted"] is not None for r in out)

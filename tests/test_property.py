@@ -37,19 +37,23 @@ _PATTERNS = ("*.pyc", ".git", ".git/*", ".#*", "*~", "desktop.ini", ".cache", ".
 
 
 def _ref_ignored(path: str) -> bool:
-    """Reference model of the reference's semantics: fnmatch FULL match on
-    the basename for bare patterns; for '/'-patterns, full match against
-    any segment-aligned suffix of the path."""
-    base = path.split("/")[-1]
+    """Model of the documented semantics (ignore.py docstring): bare
+    patterns full-match any segment-aligned SPAN of the path (a glob's
+    ``*`` is dotall, so ``venv*`` also swallows everything under a
+    ``venvX/`` directory); '/'-patterns full-match any segment-aligned
+    suffix.  Deliberately NOT the reference's raw suffix search — see the
+    divergence note in ignore.py."""
+    parts = path.split("/")
+    spans = [
+        "/".join(parts[i:j])
+        for i in range(len(parts))
+        for j in range(i + 1, len(parts) + 1)
+    ]
+    suffixes = ["/".join(parts[i:]) for i in range(len(parts))]
     for p in _PATTERNS:
-        if "/" not in p:
-            if fnmatch.fnmatchcase(base, p):
-                return True
-        else:
-            parts = path.split("/")
-            for i in range(len(parts)):
-                if fnmatch.fnmatchcase("/".join(parts[i:]), p):
-                    return True
+        cands = spans if "/" not in p else suffixes
+        if any(fnmatch.fnmatchcase(c, p) for c in cands):
+            return True
     return False
 
 

@@ -261,3 +261,37 @@ def test_salted_join_matches_plain_join(spark):
         (r["k"], r["v"], r["w"]) for r in salted_join(big, small, "k", n_salt=8, how="left").collect()
     )
     assert salted_l == plain_l
+
+
+def test_salted_join_content_salt_and_salt_on(spark):
+    """The salt is content-derived (stable under stage retry — never
+    monotonically_increasing_id/rand, the SPARK-23207 hazard class), and
+    salt_on lets callers pick the distinguishing column; results must
+    equal the plain join either way."""
+    import pandas as pd
+
+    from hashio_spark.operators.constraints import salted_join
+
+    big = spark.createDataFrame(pd.DataFrame({
+        "k": ["hot"] * 500 + [f"k{i}" for i in range(50)],
+        "v": list(range(550)),
+    }))
+    small = spark.createDataFrame(pd.DataFrame({"k": ["hot", "k1", "k2"], "w": [0, 1, 2]}))
+    plain = {(r["k"], r["v"], r["w"]) for r in big.join(small, "k").collect()}
+    got = {(r["k"], r["v"], r["w"])
+           for r in salted_join(big, small, "k", n_salt=4, salt_on="v").collect()}
+    assert got == plain
+    # no nondeterministic salt source anywhere in the plan
+    plan = salted_join(big, small, "k", n_salt=4)._jdf.queryExecution().analyzed().toString()
+    assert "monotonically_increasing_id" not in plan and "rand(" not in plan
+
+
+def test_manifest_store_rejects_injectable_table_identifier(spark, tmp_path):
+    import pytest as _pytest
+
+    from hashio_spark.sources.manifest_store import ManifestStore
+
+    ManifestStore(spark, str(tmp_path / "ok"), table="cat.db.manifest")  # fine
+    for bad in ("db.man; DROP TABLE x", "t'x", "a b", ""):
+        with _pytest.raises(ValueError, match="table identifier"):
+            ManifestStore(spark, str(tmp_path / "bad"), table=bad)
