@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "drift_psi",
     "ann_cosine_topk",
     "embedding_neardup",
+    "embedding_neardup_scaled",
     "simhash_md5",
     "validate_interleaved",
 ]

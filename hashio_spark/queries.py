@@ -941,6 +941,145 @@ WHERE list_dot_product(a.ve, b.ve) / (a.nrm * b.nrm) >= 0.45
 EMBEDDING_NEARDUP_SQL = _neardup_sql()
 
 
+# -- corpus-scaled variant (r03 VERDICT next-round #4) ----------------------
+# the SCALE path of operators/similarity.neardup_pairs carried by a green
+# oracle row: bits_per_band derives from the corpus count with the SAME
+# formula as neardup_pairs (ceil(log2(n / target_bucket)) clamped low at 4),
+# replicated integer-exactly in the oracle SQL via a count-driven CASE —
+# 64 * 2^bits >= n picks the same bits as the float formula without libm
+# (smallest b with 2^b >= n/64 IS ceil(log2(n/64))).  The registered twin
+# clamps high at 12 bits (the SQL enumerates branches 4..12; production
+# clamps at 34 where the corpus, not a SQL oracle, is the constraint).
+
+_SCALED_BANDS = 4
+_SCALED_TARGET = 64     # target per-band bucket occupancy (neardup_pairs default)
+_SCALED_MAX_BITS = 12
+_SCALED_MAX_BUCKET = 256
+_SCALED_PLANES = _neardup_planes(_SCALED_BANDS * _SCALED_MAX_BITS)
+
+
+def _scaled_bits(n: int) -> int:
+    for b in range(4, _SCALED_MAX_BITS + 1):
+        if _SCALED_TARGET * (1 << b) >= n:
+            return b
+    return _SCALED_MAX_BITS
+
+
+def embedding_neardup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded hyperplane LSH near-dup whose band WIDTH scales with the
+    corpus: per-band bucket occupancy stays ~``_SCALED_TARGET`` at any
+    size, so candidate volume (Σ_bucket n² per band, capped) is linear in
+    the corpus instead of quadratic — the 100-TB-safe shape of
+    :func:`embedding_neardup`, which pins r=4/b=4 for oracle literalism.
+
+    The 48 plane signs are computed ONCE per row in a staged projection
+    (interpreted higher-order lambdas get no CSE; inlining the quantized
+    vector into every fold would recompute it per plane), then each band
+    folds ``bits`` signs into its bucket id.  Signs are taken on vectors
+    quantized to integers against integer plane components — dot products
+    < 2^53, exact in doubles, bit-identical across engines."""
+    e = _emb_double(spark, sf_dir)
+    bits = _scaled_bits(e.count())
+    nrm = F.sqrt(F.aggregate(F.transform(F.col("ve"), lambda x: x * x), F.lit(0.0), lambda a, v: a + v))
+    qv = F.transform(F.col("ve"), lambda x: F.floor(x * F.lit(1000.0)).cast("double"))
+    staged = e.select("vec_id", "ve", nrm.alias("nrm"), qv.alias("qv"))
+
+    def dot_plane(p: int):
+        arr = F.array(*[F.lit(float(w)) for w in _SCALED_PLANES[p]])
+        return F.aggregate(F.zip_with(F.col("qv"), arr, lambda x, w: x * w), F.lit(0.0), lambda a, v: a + v)
+
+    sgn = staged.select(
+        "vec_id", "ve", "nrm",
+        *[F.when(dot_plane(p) > 0, 1).otherwise(0).alias(f"_s{p}") for p in range(_SCALED_BANDS * bits)],
+    )
+
+    def band_val(band: int):
+        v = F.lit(0)
+        for j in range(bits):
+            v = v + F.col(f"_s{band * bits + j}") * F.lit(1 << j)
+        return v
+
+    bands = sgn.select(
+        "vec_id", "ve", "nrm",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("band_id"), band_val(i).alias("band_val"))
+            for i in range(_SCALED_BANDS)
+        ])).alias("b"),
+    ).select("vec_id", "ve", "nrm", F.col("b.band_id").alias("band_id"), F.col("b.band_val").alias("band_val"))
+    bands = bands.persist()
+    sizes = bands.groupBy("band_id", "band_val").agg(F.count(F.lit(1)).alias("n"))
+    ok = bands.join(
+        sizes.filter((F.col("n") > 1) & (F.col("n") <= _SCALED_MAX_BUCKET)), ["band_id", "band_val"]
+    ).select("vec_id", "ve", "nrm", "band_id", "band_val")
+    a = ok.select(F.col("vec_id").alias("a_id"), F.col("ve").alias("a_ve"), F.col("nrm").alias("a_n"), "band_id", "band_val")
+    b = ok.select(F.col("vec_id").alias("b_id"), F.col("ve").alias("b_ve"), F.col("nrm").alias("b_n"), "band_id", "band_val")
+    dot = F.aggregate(
+        F.zip_with(F.col("a_ve"), F.col("b_ve"), lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+    out = (
+        a.join(b, ["band_id", "band_val"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", (dot / (F.col("a_n") * F.col("b_n"))).alias("cos"))
+        .filter(F.col("cos") >= 0.45)
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    from hashio_spark.caching import track
+
+    return track(out, bands)
+
+
+def _neardup_scaled_sql() -> str:
+    def lit_arr(plane: list[int]) -> str:
+        return "[" + ", ".join(f"{w}.0" for w in plane) + "]"
+
+    bits_case = "CASE " + " ".join(
+        f"WHEN cnt <= {_SCALED_TARGET * (1 << b)} THEN {b}"
+        for b in range(4, _SCALED_MAX_BITS + 1)
+    ) + f" ELSE {_SCALED_MAX_BITS} END"
+
+    sign_cols = ",\n  ".join(
+        f"CASE WHEN list_dot_product(qv, {lit_arr(_SCALED_PLANES[p])}) > 0 THEN 1 ELSE 0 END AS s{p}"
+        for p in range(_SCALED_BANDS * _SCALED_MAX_BITS)
+    )
+
+    def band_sum(band: int, bits: int) -> str:
+        return " + ".join(f"s{band * bits + j} * {1 << j}" for j in range(bits))
+
+    band_case = "CASE bits " + " ".join(
+        f"WHEN {bits} THEN (CASE band_id "
+        + " ".join(f"WHEN {i} THEN {band_sum(i, bits)}" for i in range(_SCALED_BANDS))
+        + " END)"
+        for bits in range(4, _SCALED_MAX_BITS + 1)
+    ) + " END"
+
+    return f"""
+WITH e AS (SELECT vec_id, cast(embedding AS double[]) AS ve FROM embeddings),
+q AS (SELECT vec_id, ve, sqrt(list_dot_product(ve, ve)) AS nrm,
+             list_transform(ve, x -> floor(x * 1000.0)) AS qv FROM e),
+params AS (SELECT {bits_case} AS bits FROM (SELECT count(*) AS cnt FROM e)),
+sgn AS (SELECT vec_id, ve, nrm,
+  {sign_cols}
+  FROM q),
+bands AS (
+  SELECT vec_id, ve, nrm, band_id, {band_case} AS band_val
+  FROM sgn, params, (SELECT unnest(generate_series(0, {_SCALED_BANDS - 1})) AS band_id)
+), sizes AS (
+  SELECT band_id, band_val, count(*) AS n FROM bands GROUP BY band_id, band_val
+), ok AS (
+  SELECT bands.vec_id, bands.ve, bands.nrm, bands.band_id, bands.band_val
+  FROM bands JOIN sizes USING (band_id, band_val)
+  WHERE sizes.n > 1 AND sizes.n <= {_SCALED_MAX_BUCKET}
+)
+SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+FROM ok a JOIN ok b ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.vec_id < b.vec_id
+WHERE list_dot_product(a.ve, b.ve) / (a.nrm * b.nrm) >= 0.45
+"""
+
+
+EMBEDDING_NEARDUP_SCALED_SQL = _neardup_scaled_sql()
+
+
 LEGACY_EMBEDDING_NEARDUP_SQL = """
 WITH e AS (SELECT vec_id, cast(embedding AS double[]) AS ve FROM embeddings)
 SELECT a.vec_id AS a_id, b.vec_id AS b_id
@@ -1181,6 +1320,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "lang_id": (lang_id, LANG_ID_SQL),
     "ann_cosine_topk": (ann_cosine_topk, ANN_COSINE_TOPK_SQL),
     "embedding_neardup": (embedding_neardup, EMBEDDING_NEARDUP_SQL),
+    "embedding_neardup_scaled": (embedding_neardup_scaled, EMBEDDING_NEARDUP_SCALED_SQL),
     "topk_orders_per_customer": (topk_orders_per_customer, TOPK_ORDERS_SQL),
     "sessionize_events": (sessionize_events, SESSIONIZE_SQL),
     "pivot_event_counts": (pivot_event_counts, PIVOT_EVENTS_SQL),
