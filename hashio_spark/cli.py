@@ -163,6 +163,19 @@ def cmd_drift(args) -> int:
     return 0
 
 
+def cmd_migrate(args) -> int:
+    """Re-layout a pre-partitioning legacy manifest store (reference
+    ``--update-cache``, ``/root/reference/lib/hashio/cli.py:338-343``)."""
+    from hashio_spark.sources.manifest_store import ManifestStore
+
+    spark = _spark(args)
+    store = ManifestStore(spark, args.manifest)
+    n = store.migrate(keep_backup=not args.drop_backup)
+    print(json.dumps({"manifest": args.manifest, "migrated_rows": n,
+                      "runs": store.list_runs()}))
+    return 0
+
+
 def cmd_list(args) -> int:
     """List run snapshots (reference ``--list-snapshots``,
     ``/root/reference/lib/hashio/cli.py:368-377``)."""
@@ -235,6 +248,12 @@ def main(argv: list[str] | None = None) -> int:
     dft.add_argument("--other-run", required=True)
     dft.add_argument("--threshold", type=float, default=0.25)
     dft.set_defaults(fn=cmd_drift)
+
+    mg = sub.add_parser("migrate", help="re-layout a legacy unpartitioned manifest store (--update-cache analog)")
+    mg.add_argument("--manifest", required=True)
+    mg.add_argument("--drop-backup", action="store_true",
+                    help="delete the .legacy-backup dir after a successful migration")
+    mg.set_defaults(fn=cmd_migrate)
 
     ls = sub.add_parser("list", help="list run snapshots (--list-snapshots analog)")
     ls.add_argument("--manifest", required=True)

@@ -295,3 +295,55 @@ def test_manifest_store_rejects_injectable_table_identifier(spark, tmp_path):
     for bad in ("db.man; DROP TABLE x", "t'x", "a b", ""):
         with _pytest.raises(ValueError, match="table identifier"):
             ManifestStore(spark, str(tmp_path / "bad"), table=bad)
+
+
+def test_manifest_migrate_legacy_layout(spark, docs, catalog, tmp_path):
+    """Old unpartitioned layout -> migrate() -> read()/list_runs() see all
+    rows with byte-identical digests; a second migrate is a no-op; rows
+    already in the partitioned layout win over same-key legacy rows."""
+    from hashio_spark.sources.manifest_store import ManifestStore
+
+    res = validate(docs, catalog)
+    rows = manifest_rows(res, "old-run", "md5")
+    want = {(r["run_id"], r["partition_id"], r["algo"]): r["digest"] for r in rows.collect()}
+
+    # write the PRE-partitioning layout: bare parquet, no run_id=* dirs
+    legacy = str(tmp_path / "legacy_store")
+    rows.coalesce(1).write.parquet(legacy)
+    store = ManifestStore(spark, legacy)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unpartitioned legacy"):
+        store.read()
+
+    assert store.migrate() == len(want)
+    got = {(r["run_id"], r["partition_id"], r["algo"]): r["digest"] for r in store.read().collect()}
+    assert got == want
+    assert store.list_runs() == ["old-run"]
+    assert store.migrate() == 0  # idempotent: nothing bare left
+
+    # mixed store: existing partitioned rows win over legacy same-key rows
+    import datetime
+
+    from hashio_spark.sources.manifest_store import MANIFEST_SCHEMA
+
+    part0 = next(iter(want))
+    stale = spark.createDataFrame(
+        [(part0[0], part0[1], part0[2], "stalestale", 1, {}, "", datetime.datetime(2099, 1, 1))],
+        MANIFEST_SCHEMA)
+    stale.coalesce(1).write.mode("append").parquet(legacy)  # drops a bare file next to run_id=*
+    assert store.migrate() == 1
+    assert store.read().filter(
+        (F.col("partition_id") == part0[1])).select("digest").first()["digest"] == want[part0]
+
+
+def test_cli_migrate_subcommand(spark, docs, catalog, tmp_path, capsys):
+    import json as _json
+
+    from hashio_spark.cli import main
+
+    legacy = str(tmp_path / "legacy_cli")
+    manifest_rows(validate(docs, catalog), "r1", "md5").coalesce(1).write.parquet(legacy)
+    assert main(["migrate", "--manifest", legacy]) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["migrated_rows"] == 8 and out["runs"] == ["r1"]
