@@ -136,16 +136,19 @@ def test_file_digests_match_reference(hashio_ref, spark, tmp_path):
     from pyspark.sql import functions as F
 
     from hashio_spark.functions.digests import parity_udf
+    from hashio_spark.sources.files import read_file_tree
 
-    # NB: Spark's binaryFile source silently omits zero-byte files — a
-    # documented parity gap vs the reference's walk (which hashes empty
-    # files to the empty-input digest); empty rows must be handled by the
-    # table path, not the file path.
+    # Spark's binaryFile source silently omits zero-byte files, while the
+    # reference's walk hashes them to the empty-input digest — the tree
+    # therefore PLANTS empty files (top-level and nested) and scans via
+    # read_file_tree, which unions them back in (r03 "What's missing #3").
     files = {
         "a.txt": b"hello, world\n",
         "b.bin": bytes(range(256)) * 40,
         "one": b"\x00",
         "sub/c.txt": b"nested file contents\n" * 10,
+        "empty.dat": b"",
+        "sub/also_empty": b"",
     }
     for rel, data in files.items():
         p = tmp_path / rel
@@ -156,12 +159,11 @@ def test_file_digests_match_reference(hashio_ref, spark, tmp_path):
     for rel in files:
         enc = hashio_ref.XXH64Encoder()
         expected[rel] = hashio_ref.checksum_file(str(tmp_path / rel), enc)
+    # the reference maps empty input to the empty-input digest
+    assert expected["empty.dat"] == "ef46db3751d8e999"
 
-    df = (
-        spark.read.format("binaryFile")
-        .option("recursiveFileLookup", "true")
-        .load(str(tmp_path))
-        .select(F.col("path"), parity_udf("xxh64")(F.col("content")).alias("digest"))
+    df = read_file_tree(spark, str(tmp_path)).select(
+        F.col("path"), parity_udf("xxh64")(F.col("content")).alias("digest")
     )
     got = {os.path.relpath(r["path"].removeprefix("file:"), str(tmp_path)): r["digest"] for r in df.collect()}
     assert got == expected
