@@ -177,12 +177,21 @@ def neardup_pairs(
 
 def ivf_centroids(emb: DataFrame, key_col: str, vec_col: str, n_list: int) -> list[list[float]]:
     """Deterministic coarse quantizer: the ``n_list`` corpus vectors with
-    the smallest keys become the centroids (a tiny driver-side model,
-    like broadcasting a trained k-means codebook; deterministic so tests
-    and reruns agree).  n_list × dim doubles — KB-scale even at
+    the smallest ``xxhash64(key)`` become the centroids (a tiny
+    driver-side model, like broadcasting a trained k-means codebook).
+
+    Hash-ordering makes the pick a uniform pseudo-random SAMPLE of the
+    corpus — distribution-representative the way a k-means init sample
+    would be — while staying exactly reproducible across runs and
+    engines.  The previous smallest-``key`` pick was deterministic but
+    statistically poor (r03 VERDICT #7): keys are usually assigned in
+    insertion/cluster order, so the first n keys over-sample one region
+    of the embedding space and the inverted lists go skewed.  The pick
+    itself is a TakeOrderedAndProject (per-partition heaps of n_list
+    rows), not a global sort; n_list × dim doubles — KB-scale even at
     n_list=65536."""
     rows = (
-        emb.orderBy(key_col).limit(n_list)
+        emb.orderBy(F.xxhash64(F.col(key_col).cast("string")), key_col).limit(n_list)
         .select(as_double_vec(vec_col).alias("c"))
         .collect()
     )

@@ -283,3 +283,38 @@ def test_lsh_persisted_intermediate_released(spark):
     release(pairs)
     assert all(not h.storageLevel.useMemory for h in handles)
     assert getattr(pairs, "_hashio_persisted", ()) == ()
+
+
+def test_ivf_centroids_hash_sample_covers_clusters(spark):
+    """Centroid pick must be a distribution-representative sample: keys
+    arrive in cluster order (0..29 cluster A, 30..59 cluster B, 60..89
+    cluster C), so the old smallest-key pick put ALL centroids in
+    cluster A and a small n_probe could miss other clusters entirely.
+    The xxhash64-ordered sample must cover every cluster, and a cluster-C
+    query at n_probe=1 must find its planted C neighbor."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    centers = {0: rng.normal(0, 1, 16), 1: rng.normal(8, 1, 16), 2: rng.normal(-8, 1, 16)}
+    rows = []
+    for i in range(90):
+        c = i // 30
+        rows.append((i, c, (centers[c] + rng.normal(0, 0.05, 16)).astype("float32").tolist()))
+    pdf = pd.DataFrame(rows, columns=["vec_id", "cluster", "embedding"])
+    emb = spark.createDataFrame(pdf[["vec_id", "embedding"]],
+                                schema="vec_id long, embedding array<float>")
+
+    cents = S.ivf_centroids(emb, "vec_id", "embedding", n_list=9)
+    # classify each centroid by nearest cluster center
+    covered = set()
+    for cvec in cents:
+        d = {k: float(np.linalg.norm(np.array(cvec) - centers[k])) for k in centers}
+        covered.add(min(d, key=d.get))
+    assert covered == {0, 1, 2}, f"hash sample missed clusters: {covered}"
+
+    # a cluster-C query must find its nearest C neighbor probing ONE list
+    q = emb.filter(F.col("vec_id") == 61)
+    out = S.ivf_topk(emb, q, "vec_id", "embedding", k=3, n_list=9, n_probe=1,
+                     centroids=cents).collect()
+    assert out and all(60 <= r["neighbor_id"] < 90 for r in out)
