@@ -41,8 +41,13 @@ def cmd_validate(args) -> int:
     catalog = spark.read.parquet(args.catalog) if args.catalog else None
     store = ManifestStore(spark, args.manifest) if args.manifest else None
 
+    # --algo accepts a comma list: first is primary, the rest are computed
+    # in the same scan (reference manifests carry one digest per algo)
+    algos = [a for a in args.algo.split(",") if a]
+    algo, extra_algos = algos[0], tuple(algos[1:])
+
     if store is not None and args.resume:
-        docs = store.pending_partitions(docs, args.run_id, args.algo)
+        docs = store.pending_partitions(docs, args.run_id, algo)
         if not docs.head(1):
             print(json.dumps({"status": "nothing-to-do", "run_id": args.run_id}))
             return 0
@@ -56,15 +61,17 @@ def cmd_validate(args) -> int:
         print(f"error: unknown --checks name(s): {sorted(unknown)}; "
               f"valid: {sorted(valid_checks)}", file=sys.stderr)
         return 2
-    res = validate(docs, catalog, algo=args.algo, parity=args.parity, checks=checks)
+    res = validate(docs, catalog, algo=algo, parity=args.parity, checks=checks,
+                   extra_algos=extra_algos)
     if store is not None:
-        store.merge(manifest_rows(res, args.run_id, args.algo, lineage=",".join(inputs)))
+        store.merge(manifest_rows(res, args.run_id, algo, lineage=",".join(inputs),
+                                  extra_algos=extra_algos))
     if args.violations_out:
         res.violations.write.mode("overwrite").parquet(args.violations_out)
     if args.export:
         from hashio_spark.sources.exporters import EXPORTERS
 
-        EXPORTERS.write(res.report, args.export, "partition_id", args.algo)
+        EXPORTERS.write(res.report, args.export, "partition_id", algo)
     summary = res.report.agg(
         F.sum("row_count").alias("docs"), F.sum("violation_count").alias("violations")
     ).first()
@@ -212,7 +219,8 @@ def main(argv: list[str] | None = None) -> int:
     v.add_argument("--manifest")
     v.add_argument("--run-id", default="run")
     v.add_argument("--algo", default="xxh64",
-                   help="null|md5|sha256|sha512|crc32|xxh64|xxh3_64|xxh3_128|c4|fast")
+                   help="null|md5|sha256|sha512|crc32|xxh64|xxh3_64|xxh3_128|c4|fast; "
+                        "comma list computes extra algos in the same scan")
     v.add_argument("--parity", action="store_true")
     v.add_argument("--resume", action="store_true")
     v.add_argument("--violations-out")

@@ -57,12 +57,23 @@ def validate(
     persist_violations: bool = True,
     group_digest: str | None = None,
     checks: frozenset[str] = frozenset({"shape", "uniqueness", "referential"}),
+    extra_algos: tuple[str, ...] = (),
 ) -> ValidationResult:
     """Run the full stats + constraint + digest pass.
 
     ``docs`` needs columns (doc_id, partition_id, spans[, quality]).
     ``parity=True`` uses reference-byte-identical digests (pandas UDF) and
     the sorted composite group digest; default keeps everything JVM-side.
+
+    ``extra_algos`` computes additional digest tiers IN THE SAME SCAN —
+    the reference's manifest entries carry one digest per known algo
+    (``/root/reference/lib/hashio/exporter.py:354-362`` probes them all);
+    here each extra algo adds a ``doc_digest_<algo>`` column to the same
+    enriched projection (the canonical span serialization is shared via
+    codegen subexpression elimination, the table is still decoded once)
+    and a ``digest_<algo>`` group digest to the same report aggregation.
+    :func:`manifest_rows` fans the report out into one manifest row per
+    algo.
 
     ``persist_violations`` caches the violation rows: they feed two
     consumers (the report's per-partition violation_count join and the
@@ -109,6 +120,8 @@ def validate(
         .withColumn("_n_null_text", n_bad_null if do_shape else F.lit(0))
         .withColumn("_n_ooo", n_bad_ooo if do_shape else F.lit(0))
     )
+    for a in extra_algos:
+        enriched = enriched.withColumn(f"doc_digest_{a}", doc_digest_expr("spans", a, parity=parity))
 
     # group digest tier: "composite" = reference-parity sorted fold
     # (collect_list per group — exact but memory O(group)); "fold" = the
@@ -117,11 +130,15 @@ def validate(
     # SQL-replicable composite over JVM-side per-doc digests.
     if group_digest is None:
         group_digest = "composite" if parity else "fold"
-    group_digest_expr = (
-        composite_digest_expr("doc_id", "doc_digest", algo)
-        if group_digest == "composite"
-        else agg_digest_xor("doc_id", "doc_digest")
-    )
+
+    def _group_digest(doc_col: str, a: str):
+        return (
+            composite_digest_expr("doc_id", doc_col, a)
+            if group_digest == "composite"
+            else agg_digest_xor("doc_id", doc_col)
+        )
+
+    group_digest_expr = _group_digest("doc_digest", algo)
 
     stat_cols = ["doc_id", "n_spans"] + (["quality"] if "quality" in docs.columns else [])
     # String-typed stat columns would drag the wide aggregation (which
@@ -138,6 +155,7 @@ def validate(
     aggs = [
         *stat_aggs(stat_cols, skip_minmax=frozenset(str_stat_cols)),
         group_digest_expr.alias("digest"),
+        *[_group_digest(f"doc_digest_{a}", a).alias(f"digest_{a}") for a in extra_algos],
         F.sum(F.size(F.filter(F.transform(spans, lambda s: s["kind"] == "text"), lambda t: t))).alias("text_spans"),
         F.sum(F.size(F.filter(F.transform(spans, lambda s: s["kind"] != "text"), lambda t: t))).alias("media_spans"),
         F.sum((F.col("_n_null_text") > 0).cast("long")).alias("null_text_violations"),
@@ -176,7 +194,8 @@ def validate(
     ordered = ["partition_id", "row_count"]
     for c in stat_cols:
         ordered += [f"{c}_nulls", f"{c}_min", f"{c}_max", f"{c}_approx_distinct"]
-    ordered += ["digest", "text_spans", "media_spans", "null_text_violations", "offset_violations"]
+    ordered += ["digest", *[f"digest_{a}" for a in extra_algos],
+                "text_spans", "media_spans", "null_text_violations", "offset_violations"]
     if has_quality:
         ordered.append("quality_hist")
     ordered += [c for c in report.columns if c not in ordered]  # never drop
@@ -239,22 +258,43 @@ def validate(
     )
 
 
-def manifest_rows(result: ValidationResult, run_id: str, algo: str, lineage: str = "") -> DataFrame:
+def manifest_rows(
+    result: ValidationResult,
+    run_id: str,
+    algo: str,
+    lineage: str = "",
+    extra_algos: tuple[str, ...] = (),
+) -> DataFrame:
     """Project a ValidationResult into manifest-table rows
-    (FIXTURES.md §3 schema) for ManifestStore.merge."""
+    (FIXTURES.md §3 schema) for ManifestStore.merge.
+
+    ``extra_algos`` (matching the ``validate(extra_algos=...)`` call)
+    fans the report out into one manifest row per algo — the reference's
+    multi-algo manifest entries (``exporter.py:354-362``) — from the
+    single report the one-scan pass produced; the stats map is shared."""
     rep = result.report
-    stat_cols = [c for c in rep.columns if c not in ("partition_id", "digest", "row_count")]
+    stat_cols = [
+        c for c in rep.columns
+        if c not in ("partition_id", "digest", "row_count") and not c.startswith("digest_")
+    ]
     stats_map = F.map_from_arrays(
         F.array(*[F.lit(c) for c in stat_cols]),
         F.array(*[F.col(c).cast("string") for c in stat_cols]),
     )
-    return rep.select(
-        F.lit(run_id).alias("run_id"),
-        F.col("partition_id"),
-        F.lit(algo).alias("algo"),
-        F.col("digest"),
-        F.col("row_count").cast("long"),
-        stats_map.alias("stats"),
-        F.lit(lineage).alias("lineage"),
-        F.current_timestamp().alias("updated_at"),
-    )
+
+    def rows_for(a: str, digest_col: str) -> DataFrame:
+        return rep.select(
+            F.lit(run_id).alias("run_id"),
+            F.col("partition_id"),
+            F.lit(a).alias("algo"),
+            F.col(digest_col).alias("digest"),
+            F.col("row_count").cast("long"),
+            stats_map.alias("stats"),
+            F.lit(lineage).alias("lineage"),
+            F.current_timestamp().alias("updated_at"),
+        )
+
+    out = rows_for(algo, "digest")
+    for a in extra_algos:
+        out = out.unionByName(rows_for(a, f"digest_{a}"))
+    return out

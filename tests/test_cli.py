@@ -101,3 +101,23 @@ def test_validate_multi_input_ordered_unique(io_dirs, spark, tmp_path, capsys):
     assert rc == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["docs"] == 250
+
+
+def test_cli_validate_multi_algo(spark, tmp_path, capsys):
+    """--algo md5,xxh64 lands one manifest row per (partition, algo) from
+    a single validate pass."""
+    import json as _json
+
+    from hashio_spark.cli import main
+    from hashio_spark.datagen import documents_interleaved
+    from hashio_spark.sources.manifest_store import ManifestStore
+
+    inp = str(tmp_path / "docs.parquet")
+    documents_interleaved(spark, n_docs=400, n_partitions=4).write.parquet(inp)
+    manifest = str(tmp_path / "m")
+    assert main(["validate", "--input", inp, "--manifest", manifest,
+                 "--run-id", "r1", "--algo", "md5,xxh64"]) == 0
+    _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    rows = ManifestStore(spark, manifest).read().select("partition_id", "algo").collect()
+    assert sorted((r["partition_id"], r["algo"]) for r in rows) == sorted(
+        (p, a) for p in range(4) for a in ("md5", "xxh64"))

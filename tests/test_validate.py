@@ -347,3 +347,42 @@ def test_cli_migrate_subcommand(spark, docs, catalog, tmp_path, capsys):
     assert main(["migrate", "--manifest", legacy]) == 0
     out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["migrated_rows"] == 8 and out["runs"] == ["r1"]
+
+
+def test_multi_algo_manifest_rows_single_scan(spark, docs, catalog, tmp_path):
+    """extra_algos computes a second digest tier in the SAME pass
+    (reference manifests carry one digest per known algo,
+    exporter.py:354-362): per-algo digests byte-match dedicated
+    single-algo runs, the store lands one row per (partition, algo), and
+    the two-algo report plan scans the document relation no more times
+    than the one-algo plan."""
+    from hashio_spark.sources.manifest_store import ManifestStore
+
+    res2 = validate(docs, catalog, algo="md5", extra_algos=("xxh64",))
+    assert "digest_xxh64" in res2.report.columns
+    rep2 = {r["partition_id"]: (r["digest"], r["digest_xxh64"]) for r in res2.report.collect()}
+
+    md5_only = {r["partition_id"]: r["digest"] for r in validate(docs, catalog, algo="md5").report.collect()}
+    x_only = {r["partition_id"]: r["digest"] for r in validate(docs, catalog, algo="xxh64").report.collect()}
+    assert {p: d[0] for p, d in rep2.items()} == md5_only
+    assert {p: d[1] for p, d in rep2.items()} == x_only
+
+    # one scan: the multi-algo plan must not add source scans (compare
+    # two FRESH plans — a collected report's AQE-finalized plan string
+    # materializes reused stages and double-counts)
+    def n_scans(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return sum(plan.count(tag) for tag in ("Range ", "Scan parquet", "Scan ExistingRDD"))
+
+    fresh2 = validate(docs, catalog, algo="md5", extra_algos=("xxh64",), persist_violations=False)
+    fresh1 = validate(docs, catalog, algo="md5", persist_violations=False)
+    assert n_scans(fresh2.report) == n_scans(fresh1.report)
+
+    store = ManifestStore(spark, str(tmp_path / "multi"))
+    store.merge(manifest_rows(res2, "r1", "md5", extra_algos=("xxh64",)))
+    got = store.read().select("partition_id", "algo", "digest").collect()
+    assert len(got) == 16  # 8 partitions x 2 algos
+    for r in got:
+        want = md5_only if r["algo"] == "md5" else x_only
+        assert r["digest"] == want[r["partition_id"]]
+    res2.violations.unpersist()
