@@ -121,3 +121,30 @@ def test_cli_validate_multi_algo(spark, tmp_path, capsys):
     rows = ManifestStore(spark, manifest).read().select("partition_id", "algo").collect()
     assert sorted((r["partition_id"], r["algo"]) for r in rows) == sorted(
         (p, a) for p in range(4) for a in ("md5", "xxh64"))
+
+
+def test_pyfiles_zip_importable(tmp_path):
+    """The --py-files artifact must be importable straight from the zip
+    (what spark-submit does on each executor's sys.path): build it, wipe
+    hashio_spark from sys.modules, import the full module graph from the
+    zip only."""
+    import importlib
+    import subprocess
+    import sys
+
+    out = str(tmp_path / "hashio_spark.zip")
+    import tools.make_pyfiles as mk
+
+    names = mk.build(out)
+    assert "hashio_spark/cli.py" in names and "hashio_spark/plans/validate.py" in names
+    assert not any("tests/" in n or "__pycache__" in n for n in names)
+    # import in a clean interpreter with ONLY the zip on the path
+    code = (
+        "import sys; sys.path.insert(0, %r); "
+        "import hashio_spark.plans.validate, hashio_spark.cli, "
+        "hashio_spark.queries, hashio_spark.sources.manifest_store; "
+        "assert hashio_spark.__file__.startswith(%r); print('zip-import-ok')"
+    ) % (out, out)
+    env = {k: v for k, v in __import__("os").environ.items() if k != "PYTHONPATH"}
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True, text=True, env=env)
+    assert r.returncode == 0 and "zip-import-ok" in r.stdout, r.stderr

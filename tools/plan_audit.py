@@ -76,6 +76,25 @@ def main() -> None:
         notes.append("MISSING partial-agg pair")
     else:
         notes.append("OK partial-agg pair present")
+    # r04: the report aggregation must be a HashAggregate — string min/max
+    # is deferred to the pruned side agg, so any SortAggregate in the tree
+    # may only touch narrow columns, never the spans-width projection
+    # (whose telltale functions are the group digest and span sums)
+    tree = res.report._jdf.queryExecution().executedPlan().toString()
+    wide_sorts = [
+        ln.strip()[:160] for ln in tree.splitlines()
+        if "SortAggregate" in ln and ("doc_digest" in ln or "text_spans" in ln)
+    ]
+    if wide_sorts:
+        failures.append("flagship_report: SortAggregate over the spans-width projection")
+        notes.append("VIOLATION wide SortAggregate: " + wide_sorts[0])
+    else:
+        notes.append("OK no SortAggregate over the spans-width projection")
+    if not re.search(r"HashAggregate.*xxhash64\(doc_id", tree):
+        failures.append("flagship_report: group digest not in a HashAggregate")
+        notes.append("MISSING group digest in HashAggregate")
+    else:
+        notes.append("OK group digest aggregated in HashAggregate")
     sections.append(("flagship_report (validate → report)", p, notes))
 
     # parity mode SHOULD show the Arrow Python UDF
@@ -106,8 +125,11 @@ def main() -> None:
     # 4. broadcast join: top_revenue_customers (customer is the small dim)
     q = REGISTRY["top_revenue_customers"][0](spark, SF)
     p = plan_of(q)
-    notes = check("top_revenue", p, must=[r"BroadcastHashJoin"], must_not=[r"SortMergeJoin"])
-    sections.append(("top_revenue_customers (broadcast dim join)", p, notes))
+    # r04: top-k must be TakeOrderedAndProject (per-partition heaps), not a
+    # global row_number window funnelling every row through one task
+    notes = check("top_revenue", p, must=[r"BroadcastHashJoin", r"TakeOrderedAndProject"],
+                  must_not=[r"SortMergeJoin"])
+    sections.append(("top_revenue_customers (broadcast dim join, heap top-k)", p, notes))
 
     # 5. embedding_neardup must be a bucketed join, never a cartesian
     q = REGISTRY["embedding_neardup"][0](spark, SF)
