@@ -63,6 +63,9 @@ BENCH_QUERIES = [
     "embedding_neardup",
     "embedding_neardup_scaled",
     "simhash_md5",
+    "contamination_check",
+    "repetition_stats",
+    "sample_stratified",
     "validate_interleaved",
 ]
 

@@ -146,3 +146,17 @@ def rolling_fingerprint_expr(col: Column | str = "text", k: int = 3, n_keep: int
     → equal fingerprints; high-overlap documents share most components."""
     hashes = F.transform(word_shingles_expr(col, k), lambda s: F.lower(F.lpad(F.hex(F.xxhash64(s)), 16, "0")))
     return F.concat_ws("", F.slice(F.array_sort(hashes), 1, n_keep))
+
+
+def gram_repetition_struct(toks_col: Column | str, k: int = 3) -> Column:
+    """struct(n_grams, n_distinct) over the doc's k-gram shingles — the
+    within-document repetition signal of the Gopher/RefinedWeb family of
+    quality rules (a doc whose gram multiset is mostly duplicates is
+    boilerplate/spam).  Duplicate fraction = (n_grams - n_distinct) /
+    n_grams, computed by the caller so 0-gram docs stay NULL-safe.  Pass
+    a BOUND tokens column (see :func:`word_shingles_from_tokens`)."""
+    grams = word_shingles_from_tokens(toks_col, k)
+    return F.struct(
+        F.size(grams).alias("n_grams"),
+        F.size(F.array_distinct(grams)).alias("n_distinct"),
+    )

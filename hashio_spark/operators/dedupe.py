@@ -107,31 +107,42 @@ def lsh_candidate_pairs(
     into ``n_bands`` — banding a prefix of a wider signature would
     silently degrade recall.
 
-    Shingle-less docs (signature entries all NULL) are dropped up front:
+    Shingle-less docs (signature entries all NULL) are dropped:
     concat_ws skips NULLs, so they would otherwise all share one band
     value per band_id and be emitted as bogus near-dup pairs of each
-    other.
+    other.  The drop happens INSIDE the band expression (null signature →
+    null band_val, filtered on the generated attribute after the
+    explode), not as a pre-filter on ``sig``: predicate pushdown would
+    substitute the filter through the signature projection and re-run
+    the whole tokenize→shingle→minhash pipeline per row just to test
+    nullness (the BENCH.md finding-#8 shape); a filter on the exploded
+    output cannot sink below the Generate.
     """
     if n_perm % n_bands != 0:
         raise ValueError(f"n_perm={n_perm} must be divisible by n_bands={n_bands}")
     rows_per_band = n_perm // n_bands
 
     def band(i: int, rows_per_band: int) -> Column:
-        return F.xxhash64(
-            F.lit(i),
-            F.concat_ws(
-                ",",
-                F.transform(F.slice(F.col("sig"), i * rows_per_band + 1, rows_per_band), lambda x: x.cast("string")),
-            ),
+        return F.when(F.col("sig")[0].isNull(), F.lit(None).cast("long")).otherwise(
+            F.xxhash64(
+                F.lit(i),
+                F.concat_ws(
+                    ",",
+                    F.transform(F.slice(F.col("sig"), i * rows_per_band + 1, rows_per_band), lambda x: x.cast("string")),
+                ),
+            )
         )
 
-    sig_df = sig_df.filter(F.col("sig")[0].isNotNull())
-    bands = sig_df.select(
-        "key",
-        F.explode(
-            F.array(*[F.struct(F.lit(i).alias("band_id"), band(i, rows_per_band).alias("band_val")) for i in range(n_bands)])
-        ).alias("b"),
-    ).select("key", F.col("b.band_id").alias("band_id"), F.col("b.band_val").alias("band_val"))
+    bands = (
+        sig_df.select(
+            "key",
+            F.explode(
+                F.array(*[F.struct(F.lit(i).alias("band_id"), band(i, rows_per_band).alias("band_val")) for i in range(n_bands)])
+            ).alias("b"),
+        )
+        .select("key", F.col("b.band_id").alias("band_id"), F.col("b.band_val").alias("band_val"))
+        .filter(F.col("band_val").isNotNull())
+    )
     # bands feeds THREE consumers (sizes + both self-join sides); without a
     # persist Catalyst recomputes the whole minhash upstream per consumer —
     # measured 33 s → 7 s at sf0.1.  The persisted projection is narrow

@@ -215,7 +215,7 @@ GROUP BY 1 HAVING count(*) > 1
 """
 
 
-def minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+def minhash_signature(spark: SparkSession, sf_dir: str, drop_short: bool = False) -> DataFrame:
     """4-permutation MinHash over 3-word shingles (near-dup building block).
     Permutation k = md5 prefixed with the permutation index.
 
@@ -224,6 +224,10 @@ def minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     crashes ``slice``; DuckDB's ``generate_series(1,0)`` is empty, so the
     guard also keeps the two engines in agreement)."""
     d = _t(spark, sf_dir, "documents")
+    if drop_short:
+        # scan-column filter (one split at the scan) so downstream LSH
+        # never needs a sig-null check that would re-run the md5 pipeline
+        d = d.filter(F.size(F.split(F.col("text"), " ")) >= 3)
     # staged projections (tokens → shingles → sigs): inline split/shingle
     # trees inside interpreted lambdas re-execute per element/permutation
     # (BENCH.md finding #7); bound attributes are read per row instead
@@ -275,8 +279,14 @@ def dedupe_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     replicated exactly in the oracle SQL."""
     MAX_BAND = 64
     # shingle-less docs (<3 tokens) carry NULL signatures; drop them before
-    # banding or concat_ws's null-skip would co-band every short doc
-    sig = minhash_signature(spark, sf_dir).filter(F.col("sig0").isNotNull())
+    # banding or concat_ws's null-skip would co-band every short doc.
+    # The drop tests TOKEN COUNT on the scan column, not sig0 IS NOT
+    # NULL: a null-check on the signature alias pushes down through the
+    # signature projection and re-evaluates the whole shingle+md5
+    # pipeline per row just for the check (BENCH.md finding #8), while
+    # size(split(text)) evaluates one cheap split at the scan — and sig0
+    # is null exactly iff the doc has <3 tokens.
+    sig = minhash_signature(spark, sf_dir, drop_short=True)
     b0 = sig.select("doc_id", F.concat_ws("_", F.lit("b0"), "sig0", "sig1").alias("band"))
     b1 = sig.select("doc_id", F.concat_ws("_", F.lit("b1"), "sig2", "sig3").alias("band"))
     # persisted: bands feeds sizes + both self-join sides — without this
@@ -1408,3 +1418,101 @@ FROM rep r LEFT JOIN dupcnt dc USING (partition_id)
 
 
 REGISTRY["validate_interleaved"] = (validate_interleaved, VALIDATE_INTERLEAVED_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Training-pipeline ops, round 4: decontamination / repetition / sampling
+# ---------------------------------------------------------------------------
+
+
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs sharing any 3-gram with
+    the deterministic 'benchmark' subset (doc_id % 97 == 0) and how many
+    DISTINCT grams leak.  The registered twin joins on raw shingle
+    strings so DuckDB replicates it; production uses
+    ``operators.decontaminate.contamination(hashed=True)`` (xxhash64
+    8-byte join keys, benchmark side broadcast — the corpus is never
+    shuffled for the join)."""
+    from hashio_spark.operators.decontaminate import contamination
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    train = d.filter(F.col("doc_id") % 97 != 0)
+    return contamination(train, bench, "doc_id", "text", k=3, hashed=False)
+
+
+CONTAMINATION_SQL = """
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (SELECT doc_id, list_transform(generate_series(1, len(t) - 2),
+                                     i -> concat(t[i], ' ', t[i+1], ' ', t[i+2])) AS gs FROM tok),
+doc_g AS (SELECT DISTINCT doc_id, unnest(gs) AS gram FROM sh WHERE doc_id % 97 <> 0),
+bench_g AS (SELECT DISTINCT unnest(gs) AS gram FROM sh WHERE doc_id % 97 = 0)
+SELECT doc_id, cast(count(*) AS bigint) AS n_shared
+FROM doc_g JOIN bench_g USING (gram)
+GROUP BY doc_id HAVING count(*) >= 1
+"""
+
+
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition (Gopher/RefinedWeb-style boilerplate
+    signal): per doc, total vs distinct 3-gram shingles and the duplicate
+    fraction.  Pure array expressions over a staged tokenization — no
+    shuffle at all, evaluated inside the scan's codegen stage."""
+    from hashio_spark.functions.text import gram_repetition_struct
+
+    d = _t(spark, sf_dir, "documents")
+    toked = d.select("doc_id", F.split(F.col("text"), r"\s+").alias("_toks"))
+    rep = toked.select("doc_id", gram_repetition_struct("_toks", 3).alias("_r"))
+    n, nd = F.col("_r.n_grams"), F.col("_r.n_distinct")
+    return rep.select(
+        "doc_id",
+        n.cast("long").alias("n_grams"),
+        nd.cast("long").alias("n_distinct"),
+        F.round((n - nd) / F.greatest(n, F.lit(1)), 6).alias("dup_frac"),
+    )
+
+
+REPETITION_SQL = """
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+g AS (SELECT doc_id, list_transform(generate_series(1, len(t) - 2),
+                                    i -> concat(t[i], ' ', t[i+1], ' ', t[i+2])) AS gs FROM tok)
+SELECT doc_id,
+  cast(len(gs) AS bigint) AS n_grams,
+  cast(len(list_distinct(gs)) AS bigint) AS n_distinct,
+  round((len(gs) - len(list_distinct(gs))) / greatest(cast(len(gs) AS double), 1.0), 6) AS dup_frac
+FROM g
+"""
+
+
+_SAMPLE_RATES = {"en": 0.5, "de": 0.25}
+_SAMPLE_DEFAULT = 0.1
+
+
+def sample_stratified_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling — the data-mixing primitive:
+    keep a doc iff uniform(md5(doc_id||seed)) < rate(lang).  Layout- and
+    engine-independent (the md5 tier is bit-replicated in the oracle);
+    production uses the xxhash64 tier.  Pure per-row filter: no shuffle,
+    expected output Σ n_lang·rate at any corpus size, and raising a rate
+    later keeps a superset of the earlier sample (monotone gate)."""
+    from hashio_spark.operators.sampling import sample_stratified
+
+    d = _t(spark, sf_dir, "documents")
+    out = sample_stratified(
+        d, "doc_id", "lang", _SAMPLE_RATES, default_rate=_SAMPLE_DEFAULT, method="md5"
+    )
+    return out.select("doc_id", "lang")
+
+
+SAMPLE_STRATIFIED_SQL = f"""
+SELECT doc_id, lang FROM documents
+WHERE (CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), 's42')), 1, 15)) AS BIGINT)
+       % 1000000) / 1000000.0
+  < CASE lang WHEN 'en' THEN {_SAMPLE_RATES['en']} WHEN 'de' THEN {_SAMPLE_RATES['de']}
+    ELSE {_SAMPLE_DEFAULT} END
+"""
+
+
+REGISTRY["contamination_check"] = (contamination_check, CONTAMINATION_SQL)
+REGISTRY["repetition_stats"] = (repetition_stats, REPETITION_SQL)
+REGISTRY["sample_stratified"] = (sample_stratified_md5, SAMPLE_STRATIFIED_SQL)
