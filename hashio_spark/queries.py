@@ -863,25 +863,30 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     gets bit-identical buckets — integer dot products stay < 2^53 and are
     exact in double arithmetic regardless of summation order."""
     e = _emb_double(spark, sf_dir)
+    # qv STAGED to its own projection: interpreted higher-order lambdas
+    # get no CSE, so an inline qv would re-run the floor-quantization
+    # inside every one of the 16 plane folds (finding #7 shape; the
+    # scaled variant below always staged it)
     qv = F.transform(F.col("ve"), lambda x: F.floor(x * F.lit(1000.0)).cast("double"))
+    nrm = F.sqrt(F.aggregate(F.transform(F.col("ve"), lambda x: x * x), F.lit(0.0), lambda a, v: a + v))
+    staged = e.select("vec_id", "ve", nrm.alias("nrm"), qv.alias("_qv"))
 
     def _band_val(band: int):
         val = F.lit(0)
         for j in range(_NEARDUP_BAND_BITS):
             plane = _NEARDUP_PLANES[band * _NEARDUP_BAND_BITS + j]
             arr = F.array(*[F.lit(float(w)) for w in plane])
-            dot = F.aggregate(F.zip_with(qv, arr, lambda x, w: x * w), F.lit(0.0), lambda a, v: a + v)
+            dot = F.aggregate(F.zip_with(F.col("_qv"), arr, lambda x, w: x * w), F.lit(0.0), lambda a, v: a + v)
             val = val + F.when(dot > 0, F.lit(1 << j)).otherwise(F.lit(0))
         return val
 
     # norm computed ONCE per vector (before the band explode); the pair
     # re-rank then folds only the dot product — 3× fewer array folds than
     # a cosine that recomputes both norms per candidate pair
-    nrm = F.sqrt(F.aggregate(F.transform(F.col("ve"), lambda x: x * x), F.lit(0.0), lambda a, v: a + v))
-    bands = e.select(
+    bands = staged.select(
         "vec_id",
         "ve",
-        nrm.alias("nrm"),
+        "nrm",
         F.explode(
             F.array(*[
                 F.struct(F.lit(i).alias("band_id"), _band_val(i).alias("band_val"))
