@@ -173,6 +173,32 @@ def main() -> None:
     )
     sections.append(("drift_psi_by_group (histogram shuffles only)", p, notes))
 
+    # 8b. finding-#8 guards: no inferred/pushed-down filter may duplicate
+    # an expensive generator pipeline below a Generate
+    q = REGISTRY["contamination_check"][0](spark, SF)
+    op = q._jdf.queryExecution().optimizedPlan().toString()
+    notes = []
+    below = op.split("Generate", 1)[-1]
+    bad = [ln for ln in below.splitlines() if ln.strip().startswith("+- Filter") and "transform(" in ln]
+    if bad:
+        failures.append("contamination_check: shingle pipeline duplicated into a filter below Generate")
+        notes.append("VIOLATION filter-below-Generate re-evaluates shingles")
+    else:
+        notes.append("OK no shingle pipeline in any filter below the Generate (explode_outer shape)")
+    sections.append(("contamination_check (finding-#8 guard)", plan_of(q), notes))
+
+    q = REGISTRY["dedupe_minhash_lsh"][0](spark, SF)
+    op = q._jdf.queryExecution().optimizedPlan().toString()
+    notes = []
+    bad = [ln for ln in op.splitlines() if ln.strip().startswith("Filter") or ln.strip().startswith("+- Filter")]
+    bad = [ln for ln in bad if "md5(" in ln]
+    if bad:
+        failures.append("dedupe_minhash_lsh: md5 minhash pipeline duplicated into a filter")
+        notes.append("VIOLATION md5 pipeline inside a Filter: " + bad[0].strip()[:120])
+    else:
+        notes.append("OK no md5 pipeline inside any Filter (token-count scan precondition shape)")
+    sections.append(("dedupe_minhash_lsh (finding-#8 guard)", plan_of(q), notes))
+
     # 9. bucketed layout: uniqueness over a bucketed table has NO Exchange
     from hashio_spark.sources.bucketed import bucketed_self_check, has_exchange, write_bucketed
 
