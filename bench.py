@@ -47,6 +47,7 @@ ALGO = os.environ.get("BENCH_ALGO", "xxh64")
 
 BENCH_QUERIES = [
     "q1_pricing_summary",
+    "q5_region_revenue",
     "top_revenue_customers",
     "stats_summary",
     "composite_digest",
@@ -66,6 +67,7 @@ BENCH_QUERIES = [
     "contamination_check",
     "repetition_stats",
     "sample_stratified",
+    "sample_cap_per_group",
     "validate_interleaved",
 ]
 

@@ -1521,3 +1521,92 @@ WHERE (CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), 's42')), 1, 
 REGISTRY["contamination_check"] = (contamination_check, CONTAMINATION_SQL)
 REGISTRY["repetition_stats"] = (repetition_stats, REPETITION_SQL)
 REGISTRY["sample_stratified"] = (sample_stratified_md5, SAMPLE_STRATIFIED_SQL)
+
+
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5-shaped multiway join: revenue by nation for ASIA customers
+    whose supplier sits in the same nation, one order-date year.
+
+    The plan this is written FOR: region/nation/supplier/customer are
+    dimension tables → all four join as broadcasts (no shuffle touches
+    the lineitem fact side until the final nation aggregation, itself a
+    HashAggregate partial/final pair); the o_orderdate range filter
+    pushes into the orders scan (PushedFilters), and only the join keys
+    plus the two price columns are read from lineitem (ReadSchema).
+    Decimal-exact sums cast to double and rounded for cross-engine
+    comparison, as in q1."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    joined = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(s), (li["l_suppkey"] == s["s_suppkey"]) & (c["c_nationkey"] == s["s_nationkey"]))
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(F.round(F.sum(rev).cast("double"), 2).alias("revenue"))
+    )
+
+
+Q5_SQL = """
+SELECT n_name,
+  round(cast(sum(cast(l_extendedprice AS decimal(18,2))
+              * (cast(1 AS decimal(18,2)) - cast(l_discount AS decimal(18,2)))) AS double), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
+def sample_cap_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum CAP sampling (the other half of data mixing next to
+    rate sampling): keep at most N docs per source, chosen by hash rank —
+    deterministic, layout-independent, and the window is PARTITIONED by
+    the stratum so no single task sees more than one stratum's rows.  A
+    boilerplate-heavy source can't dominate the mix."""
+    CAP = 10
+    d = _t(spark, sf_dir, "documents")
+    u = (
+        F.conv(F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("cap42")).cast("binary")), 1, 15), 16, 10)
+        .cast("long")
+    )
+    w = Window.partitionBy("source").orderBy(u.asc(), F.col("doc_id").asc())
+    return (
+        d.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= CAP)
+        .select("doc_id", "source")
+    )
+
+
+SAMPLE_CAP_SQL = """
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+    row_number() OVER (
+      PARTITION BY source
+      ORDER BY CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), 'cap42')), 1, 15)) AS BIGINT) ASC,
+               doc_id ASC
+    ) AS rk
+  FROM documents
+) WHERE rk <= 10
+"""
+
+
+REGISTRY["q5_region_revenue"] = (q5_region_revenue, Q5_SQL)
+REGISTRY["sample_cap_per_group"] = (sample_cap_per_group, SAMPLE_CAP_SQL)

@@ -173,6 +173,18 @@ def main() -> None:
     )
     sections.append(("drift_psi_by_group (histogram shuffles only)", p, notes))
 
+    # 6b. q5: all dims broadcast, fact side never sort-merge-joined,
+    # date range pushed down, lineitem scan pruned to join+price columns
+    q = REGISTRY["q5_region_revenue"][0](spark, SF)
+    p = plan_of(q)
+    notes = check(
+        "q5_region_revenue", p,
+        must=[r"BroadcastHashJoin", r"GreaterThanOrEqual\(o_orderdate",
+              r"ReadSchema: struct<l_orderkey:bigint,l_suppkey:bigint,l_extendedprice:double,l_discount:double>"],
+        must_not=[r"SortMergeJoin", r"CartesianProduct"],
+    )
+    sections.append(("q5_region_revenue (multiway broadcast join)", p, notes))
+
     # 8b. finding-#8 guards: no inferred/pushed-down filter may duplicate
     # an expensive generator pipeline below a Generate
     q = REGISTRY["contamination_check"][0](spark, SF)
