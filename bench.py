@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "composite_digest",
     "dedupe_exact",
     "dedupe_minhash_lsh",
+    "dedupe_clusters",
     "ngram_jaccard",
     "doc_fingerprint",
     "drift_psi_by_group",

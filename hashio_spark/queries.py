@@ -1610,3 +1610,43 @@ SELECT doc_id, source FROM (
 
 REGISTRY["q5_region_revenue"] = (q5_region_revenue, Q5_SQL)
 REGISTRY["sample_cap_per_group"] = (sample_cap_per_group, SAMPLE_CAP_SQL)
+
+
+def dedupe_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-CLUSTER resolution: the transitive components of the
+    MinHash-LSH candidate-pair graph, each doc labeled with its
+    component's min doc_id and whether it is the kept representative.
+    Pairs alone can't drive a drop-list (near-dup is not transitive);
+    this closes the dedup story pairs → clusters → keep-one.  Iterative
+    min-label propagation (operators/graph.py) — rounds = graph
+    diameter, which for LSH near-clique graphs is 2-4."""
+    from hashio_spark.operators.graph import duplicate_clusters
+
+    pairs = dedupe_minhash_lsh(spark, sf_dir)
+    out = duplicate_clusters(pairs, "doc_a", "doc_b")
+    return out.select(
+        F.col("key").alias("doc_id"),
+        F.col("cluster_id"),
+        F.col("keep").cast("int").alias("keep"),
+    )
+
+
+DEDUPE_CLUSTERS_SQL = f"""
+WITH RECURSIVE pairs AS ({DEDUPE_MINHASH_LSH_SQL}),
+edges2 AS (
+  SELECT doc_a AS n, doc_b AS m FROM pairs
+  UNION
+  SELECT doc_b AS n, doc_a AS m FROM pairs
+),
+reach(n, m) AS (
+  SELECT n, n FROM (SELECT n FROM edges2) t
+  UNION
+  SELECT e.n, r.m FROM edges2 e JOIN reach r ON e.m = r.n
+)
+SELECT n AS doc_id, min(m) AS cluster_id,
+  cast(n = min(m) AS int) AS keep
+FROM reach GROUP BY n
+"""
+
+
+REGISTRY["dedupe_clusters"] = (dedupe_clusters, DEDUPE_CLUSTERS_SQL)

@@ -75,3 +75,25 @@ def test_sample_stratified_rate_accuracy(spark):
     by_lang = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
     assert abs(by_lang["en"] / 10000 - 0.5) < 0.03
     assert abs(by_lang["de"] / 10000 - 0.1) < 0.02
+
+
+def test_connected_components_chain_and_cliques(spark):
+    """Label propagation must close transitive chains (diameter > 1) and
+    keep disjoint cliques apart; duplicate_clusters keeps exactly one
+    representative per component."""
+    import pandas as pd
+
+    from hashio_spark.operators.graph import connected_components, duplicate_clusters
+
+    edges = spark.createDataFrame(pd.DataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5),      # chain: component 1
+         (10, 11), (11, 12), (10, 12),        # triangle: component 10
+         (20, 21)],                           # pair: component 20
+        columns=["src", "dst"]))
+    cc = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert cc == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                  10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+    clusters = duplicate_clusters(edges, "src", "dst").collect()
+    kept = sorted(r["key"] for r in clusters if r["keep"])
+    assert kept == [1, 10, 20]
+    assert sum(not r["keep"] for r in clusters) == 7
