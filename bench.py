@@ -69,6 +69,8 @@ BENCH_QUERIES = [
     "repetition_stats",
     "sample_stratified",
     "sample_cap_per_group",
+    "media_features",
+    "media_frames",
     "validate_interleaved",
 ]
 

@@ -1650,3 +1650,116 @@ FROM reach GROUP BY n
 
 
 REGISTRY["dedupe_clusters"] = (dedupe_clusters, DEDUPE_CLUSTERS_SQL)
+
+
+def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing under the oracle: a deterministic media table
+    derived from documents (binary payload = utf-8 of
+    'media-bytes-'+md5(doc_id)) runs through the REAL Arrow
+    ``mapInPandas`` feature extractor (operators/multimodal.py — byte
+    length, content digest, md5-derived decode-stub dimensions), and
+    DuckDB replicates every output bit.  This moves the multimodal axis
+    from pytest-only onto the driver's oracle gate; the stubbed decoder
+    is the documented swap-in point for real codec libs."""
+    from hashio_spark.operators.multimodal import extract_media_features
+
+    d = _t(spark, sf_dir, "documents")
+    ds = F.col("doc_id").cast("string")
+    media = d.select(
+        ds.alias("doc_id"),
+        F.concat(F.lit("asset-"), ds).alias("media_ref"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.pmod(F.col("doc_id"), F.lit(3)) + 1).cast("int"),
+        ).alias("media_kind"),
+        F.encode(F.concat(F.lit("media-bytes-"), F.md5(ds.cast("binary"))), "utf-8").alias("content"),
+    )
+    out = extract_media_features(media)
+    return out.select(
+        "doc_id", "media_ref", "media_kind",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        "content_digest",
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        F.col("duration_ms").cast("int").alias("duration_ms"),
+    )
+
+
+MEDIA_FEATURES_SQL = """
+WITH m AS (
+  SELECT cast(doc_id AS varchar) AS doc_id_s,
+    concat('asset-', cast(doc_id AS varchar)) AS media_ref,
+    CASE cast(doc_id % 3 AS int) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_kind,
+    concat('media-bytes-', md5(cast(doc_id AS varchar))) AS content_str
+  FROM documents
+),
+f AS (SELECT *, md5(content_str) AS h FROM m)
+SELECT doc_id_s AS doc_id, media_ref, media_kind,
+  cast(length(content_str) AS bigint) AS n_bytes,
+  h AS content_digest,
+  CASE WHEN media_kind IN ('image', 'video')
+       THEN 64 + CAST(concat('0x', substr(h, 1, 2)) AS INT) * 8 END AS width,
+  CASE WHEN media_kind IN ('image', 'video')
+       THEN 64 + CAST(concat('0x', substr(h, 3, 2)) AS INT) * 8 END AS height,
+  CASE WHEN media_kind IN ('audio', 'video')
+       THEN 1000 + CAST(concat('0x', substr(h, 5, 4)) AS INT) END AS duration_ms
+FROM f
+"""
+
+
+REGISTRY["media_features"] = (media_features, MEDIA_FEATURES_SQL)
+
+
+def media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing under the oracle: the same deterministic
+    media table as :func:`media_features` runs through the REAL
+    ``mapInPandas`` frame sampler (video rows fan out to 4 evenly-spaced
+    frame rows).  frame_digest is dropped from the registered projection
+    (DuckDB's md5 is VARCHAR-only and the digest mixes raw null bytes) —
+    it stays covered by pytest; indices, timestamps, and stub dimensions
+    are bit-replicated here."""
+    from hashio_spark.operators.multimodal import sample_frames
+
+    d = _t(spark, sf_dir, "documents")
+    ds = F.col("doc_id").cast("string")
+    media = d.select(
+        ds.alias("doc_id"),
+        F.concat(F.lit("asset-"), ds).alias("media_ref"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.pmod(F.col("doc_id"), F.lit(3)) + 1).cast("int"),
+        ).alias("media_kind"),
+        F.encode(F.concat(F.lit("media-bytes-"), F.md5(ds.cast("binary"))), "utf-8").alias("content"),
+    )
+    out = sample_frames(media, n_frames=4)
+    return out.select(
+        "doc_id", "media_ref",
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        F.col("frame_ts_ms").cast("int").alias("frame_ts_ms"),
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+    )
+
+
+MEDIA_FRAMES_SQL = """
+WITH m AS (
+  SELECT cast(doc_id AS varchar) AS doc_id_s,
+    concat('asset-', cast(doc_id AS varchar)) AS media_ref,
+    concat('media-bytes-', md5(cast(doc_id AS varchar))) AS content_str
+  FROM documents WHERE cast(doc_id % 3 AS int) = 2
+),
+f AS (SELECT *, md5(content_str) AS h FROM m),
+v AS (
+  SELECT doc_id_s, media_ref,
+    64 + CAST(concat('0x', substr(h, 1, 2)) AS INT) * 8 AS width,
+    64 + CAST(concat('0x', substr(h, 3, 2)) AS INT) * 8 AS height,
+    1000 + CAST(concat('0x', substr(h, 5, 4)) AS INT) AS dur
+  FROM f
+)
+SELECT doc_id_s AS doc_id, media_ref, i AS frame_idx,
+  cast((dur * i) // 4 AS int) AS frame_ts_ms, width, height
+FROM v, (SELECT unnest(generate_series(0, 3)) AS i)
+"""
+
+
+REGISTRY["media_frames"] = (media_frames, MEDIA_FRAMES_SQL)
