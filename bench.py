@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "sample_cap_per_group",
     "media_features",
     "media_frames",
+    "media_resize",
     "validate_interleaved",
 ]
 

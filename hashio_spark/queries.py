@@ -1763,3 +1763,62 @@ FROM v, (SELECT unnest(generate_series(0, 3)) AS i)
 
 
 REGISTRY["media_frames"] = (media_frames, MEDIA_FRAMES_SQL)
+
+
+def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-resize planning under the oracle: aspect-preserving fit into
+    256px through the REAL ``mapInPandas`` kernel, including the resized
+    digest (the payload is pure ASCII, so DuckDB's VARCHAR md5 replicates
+    it exactly — unlike the frame digest's raw null bytes)."""
+    from hashio_spark.operators.multimodal import resize_images
+
+    d = _t(spark, sf_dir, "documents")
+    ds = F.col("doc_id").cast("string")
+    media = d.select(
+        ds.alias("doc_id"),
+        F.concat(F.lit("asset-"), ds).alias("media_ref"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.pmod(F.col("doc_id"), F.lit(3)) + 1).cast("int"),
+        ).alias("media_kind"),
+        F.encode(F.concat(F.lit("media-bytes-"), F.md5(ds.cast("binary"))), "utf-8").alias("content"),
+    )
+    out = resize_images(media, max_side=256)
+    return out.select(
+        "doc_id", "media_ref",
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        F.col("resized_width").cast("int").alias("resized_width"),
+        F.col("resized_height").cast("int").alias("resized_height"),
+        "resized_digest",
+    )
+
+
+MEDIA_RESIZE_SQL = """
+WITH m AS (
+  SELECT cast(doc_id AS varchar) AS doc_id_s,
+    concat('asset-', cast(doc_id AS varchar)) AS media_ref,
+    concat('media-bytes-', md5(cast(doc_id AS varchar))) AS content_str
+  FROM documents WHERE cast(doc_id % 3 AS int) = 0
+),
+f AS (SELECT *, md5(content_str) AS h FROM m),
+dims AS (
+  SELECT doc_id_s, media_ref, content_str,
+    64 + CAST(concat('0x', substr(h, 1, 2)) AS INT) * 8 AS width,
+    64 + CAST(concat('0x', substr(h, 3, 2)) AS INT) * 8 AS height
+  FROM f
+),
+plan AS (
+  SELECT *,
+    greatest(1, CAST(trunc(width  * least(1.0, 256.0 / greatest(width, height))) AS INT)) AS rw,
+    greatest(1, CAST(trunc(height * least(1.0, 256.0 / greatest(width, height))) AS INT)) AS rh
+  FROM dims
+)
+SELECT doc_id_s AS doc_id, media_ref, width, height,
+  rw AS resized_width, rh AS resized_height,
+  md5(concat(content_str, '|', cast(rw AS varchar), 'x', cast(rh AS varchar))) AS resized_digest
+FROM plan
+"""
+
+
+REGISTRY["media_resize"] = (media_resize, MEDIA_RESIZE_SQL)
