@@ -67,7 +67,12 @@ def connected_components(
             labels = new_labels
             if changed == 0:
                 break
-        return labels.select(F.col("n").alias("node"), F.col("label").alias("component"))
+        out = labels.select(F.col("n").alias("node"), F.col("label").alias("component"))
+        # the final round's labels stay persisted (they back the returned
+        # plan); hand the caller the release handle (caching.release)
+        from hashio_spark.caching import track
+
+        return track(out, labels)
     finally:
         sym.unpersist()
 
@@ -76,9 +81,12 @@ def duplicate_clusters(pairs: DataFrame, key_a: str, key_b: str) -> DataFrame:
     """(key, cluster_id, keep) from near-dup pairs: cluster_id is the
     min key of the component, ``keep`` marks the one representative —
     the corpus-side drop list is ``filter(~keep)``."""
+    from hashio_spark.caching import track
+
     cc = connected_components(pairs, key_a, key_b)
-    return cc.select(
+    out = cc.select(
         F.col("node").alias("key"),
         F.col("component").alias("cluster_id"),
         (F.col("node") == F.col("component")).alias("keep"),
     )
+    return track(out, *getattr(cc, "_hashio_persisted", ()))
