@@ -69,6 +69,8 @@ BENCH_QUERIES = [
     "repetition_stats",
     "sample_stratified",
     "sample_cap_per_group",
+    "events_asof_purchase",
+    "pack_sequences",
     "media_features",
     "media_frames",
     "media_resize",

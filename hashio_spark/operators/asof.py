@@ -1,0 +1,109 @@
+"""As-of (point-in-time) join — for each left row, the most recent right
+row at or before its timestamp, per key.
+
+The reference engine has no such operator; it belongs to the
+training-data/feature-pipeline tier this engine adds (point-in-time
+correctness when attaching slowly-changing attributes — "the user's
+latest purchase as of this click", "the asset's latest manifest entry as
+of this validation run").
+
+Spark has no ASOF JOIN builtin, and the naive formulation
+(``l JOIN r ON key AND r.ts <= l.ts`` + keep-latest) explodes to
+O(|l|·|r|) rows per key before the window prunes them.  This
+implementation is the **union-timeline** plan instead:
+
+* tag left rows side=1 and right rows side=0, union them into one
+  timeline per key (right payload carried as a struct, NULL on left
+  rows);
+* one window per key ordered by ``(ts, side, payload)``:
+  ``last(payload, ignoreNulls=True)`` over the unbounded-preceding
+  prefix stamps every left row with the latest right payload at or
+  before it — right rows sort before left rows at an equal timestamp,
+  which is exactly inclusive-backward semantics;
+* filter back to side=1 and unpack the struct.
+
+Cost: ONE hash-partition shuffle on the key plus a per-key sort — no row
+explosion, no broadcast requirement, and the window is key-partitioned so
+there is no single-task global sort.  At 100 TB the only hazard is an
+ultra-hot key (one key's whole timeline sorts in one task); mitigate
+upstream by splitting hot keys on a coarse time bucket and unioning the
+bucket-boundary carry-over rows, same playbook as
+``operators/constraints.salted_join`` for skewed equi-joins.
+
+Determinism: when several right rows share a key and timestamp the
+winner is the one with the greatest payload tuple (order the tie-break
+column first in ``value_cols``); stage-retry-safe because the ordering
+depends only on row content, never on partition layout.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_TS, _SIDE, _VAL, _M = "_asof_ts", "_asof_side", "_asof_val", "_asof_match"
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str | Sequence[str],
+    right_on: str | Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: Sequence[str],
+    *,
+    direction: str = "backward",
+    how: str = "left",
+    prefix: str = "asof_",
+) -> DataFrame:
+    """Stamp each ``left`` row with ``value_cols`` from the latest
+    ``right`` row whose ``right_ts`` <= the row's ``left_ts`` (inclusive)
+    for the same join key.
+
+    ``direction='forward'`` matches the EARLIEST right row at-or-after
+    instead.  ``how='inner'`` drops left rows with no match; ``'left'``
+    keeps them with NULL values.  Matched columns come back as
+    ``{prefix}{col}``.
+    """
+    lkeys = [left_on] if isinstance(left_on, str) else list(left_on)
+    rkeys = [right_on] if isinstance(right_on, str) else list(right_on)
+    if len(lkeys) != len(rkeys):
+        raise ValueError("left_on and right_on must have the same length")
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"unknown direction: {direction}")
+    clash = set(left.columns) & {_TS, _SIDE, _VAL, _M}
+    if clash:
+        raise ValueError(f"left columns collide with internals: {sorted(clash)}")
+
+    r = right.select(
+        *[F.col(rk).alias(lk) for rk, lk in zip(rkeys, lkeys)],
+        F.col(right_ts).alias(_TS),
+        F.lit(0).alias(_SIDE),
+        F.struct(*[F.col(c) for c in value_cols]).alias(_VAL),
+    )
+    l = left.withColumn(_TS, F.col(left_ts)).withColumn(_SIDE, F.lit(1))
+    timeline = l.unionByName(r, allowMissingColumns=True)
+
+    if direction == "backward":
+        order = [F.col(_TS).asc(), F.col(_SIDE).asc(), F.col(_VAL).asc()]
+    else:  # forward: earliest at-or-after == latest in reverse time order
+        order = [F.col(_TS).desc(), F.col(_SIDE).asc(), F.col(_VAL).asc()]
+    w = (
+        Window.partitionBy(*lkeys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    stamped = timeline.withColumn(_M, F.last(_VAL, ignorenulls=True).over(w))
+
+    out = stamped.filter(F.col(_SIDE) == 1)
+    if how == "inner":
+        out = out.filter(F.col(_M).isNotNull())
+    elif how != "left":
+        raise ValueError(f"unknown how: {how}")
+    return out.select(
+        *left.columns,
+        *[F.col(f"{_M}.{c}").alias(f"{prefix}{c}") for c in value_cols],
+    )

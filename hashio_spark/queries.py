@@ -1822,3 +1822,100 @@ FROM plan
 
 
 REGISTRY["media_resize"] = (media_resize, MEDIA_RESIZE_SQL)
+
+
+def events_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join under the oracle: each sampled click is stamped with
+    the user's latest purchase at-or-before the click (point-in-time
+    attribute lookup).  The Spark side is the union-timeline plan
+    (operators/asof.py — one key shuffle, no row explosion); the oracle
+    is the O(n*m)-per-key inequality-join + row_number formulation,
+    which is exactly the blowup the operator avoids."""
+    from hashio_spark.operators.asof import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    clicks = e.filter(
+        (F.col("event_type") == "click") & (F.col("event_id") % 11 == 0)
+    ).select("event_id", "user_id", "ts")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("pid"),
+        F.col("ts").alias("pts"),
+        F.col("value").alias("pval"),
+    )
+    out = asof_join(
+        clicks, purchases, "user_id", "user_id", "ts", "pts",
+        ["pid", "pts", "pval"], how="inner", prefix="m_",
+    )
+    return out.select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.unix_timestamp("ts").alias("click_epoch"),
+        F.col("m_pid").alias("last_purchase_id"),
+        F.unix_timestamp("m_pts").alias("last_purchase_epoch"),
+        F.round("m_pval", 6).alias("last_purchase_value"),
+    )
+
+
+EVENTS_ASOF_SQL = """
+WITH cand AS (
+  SELECT c.event_id AS click_id, c.user_id, c.ts AS cts,
+         p.event_id AS pid, p.ts AS pts, p.value AS pval,
+         row_number() OVER (PARTITION BY c.event_id ORDER BY p.ts DESC, p.event_id DESC) AS rn
+  FROM events c JOIN events p
+    ON p.user_id = c.user_id AND p.event_type = 'purchase' AND p.ts <= c.ts
+  WHERE c.event_type = 'click' AND c.event_id % 11 = 0
+)
+SELECT click_id, user_id,
+  cast(floor(epoch(cts)) AS bigint) AS click_epoch,
+  pid AS last_purchase_id,
+  cast(floor(epoch(pts)) AS bigint) AS last_purchase_epoch,
+  round(pval, 6) AS last_purchase_value
+FROM cand WHERE rn = 1
+"""
+
+
+REGISTRY["events_asof_purchase"] = (events_asof_purchase, EVENTS_ASOF_SQL)
+
+
+def pack_sequences_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing under the oracle: documents are packed
+    into 2048-token bins across 8 shards (operators/packing.py streaming
+    prefix-sum rule; the registered twin shards by a portable
+    ``doc_id % 8`` instead of the production xxhash64 shard) and the
+    per-sequence manifest — which docs build which sequence — is
+    bit-replicated by DuckDB's identical window."""
+    from hashio_spark.operators.packing import pack_sequences, sequence_manifest
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tokens")
+    )
+    packed = pack_sequences(
+        d, "doc_id", "n_tokens", budget=2048, n_shards=8,
+        shard_expr=F.pmod(F.col("doc_id"), F.lit(8)),
+    )
+    return sequence_manifest(packed, "n_tokens")
+
+
+PACK_SEQUENCES_SQL = """
+WITH t AS (
+  SELECT doc_id, doc_id % 8 AS shard, len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, shard, n_tokens,
+    cast(coalesce(sum(n_tokens) OVER (
+      PARTITION BY shard ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bigint) AS cum_before
+  FROM t
+)
+SELECT cast(shard AS bigint) AS shard,
+  cast(floor(cum_before / 2048.0) AS bigint) AS seq_id,
+  count(*) AS n_docs,
+  cast(sum(n_tokens) AS bigint) AS total_tokens,
+  min(cum_before) AS first_doc_cum,
+  max(cum_before) AS last_doc_cum
+FROM c GROUP BY 1, 2
+"""
+
+
+REGISTRY["pack_sequences"] = (pack_sequences_manifest, PACK_SEQUENCES_SQL)

@@ -1,0 +1,203 @@
+"""As-of join (operators/asof.py) and sequence packing
+(operators/packing.py): semantics on hand-built frames (ties, no-match,
+forward direction, left-vs-inner), a brute-force equivalence check, and
+the packing invariants the streaming bin rule guarantees."""
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from hashio_spark.operators.asof import asof_join
+from hashio_spark.operators.packing import pack_sequences, sequence_manifest
+
+
+def _ts(s):
+    return datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def quotes(spark):
+    # key, ts, px — two keys, one with a tie at 10:00:00
+    rows = [
+        ("a", _ts("2024-01-01T09:00:00"), 1.0),
+        ("a", _ts("2024-01-01T10:00:00"), 2.0),
+        ("a", _ts("2024-01-01T10:00:00"), 3.0),  # tie: greater payload wins
+        ("a", _ts("2024-01-01T11:00:00"), 4.0),
+        ("b", _ts("2024-01-01T12:00:00"), 9.0),
+    ]
+    return spark.createDataFrame(rows, ["sym", "qts", "px"])
+
+
+@pytest.fixture(scope="module")
+def trades(spark):
+    rows = [
+        ("t1", "a", _ts("2024-01-01T08:30:00")),  # before any quote
+        ("t2", "a", _ts("2024-01-01T10:00:00")),  # exactly on the tie
+        ("t3", "a", _ts("2024-01-01T10:30:00")),
+        ("t4", "a", _ts("2024-01-01T23:00:00")),
+        ("t5", "b", _ts("2024-01-01T11:00:00")),  # before b's only quote
+        ("t6", "c", _ts("2024-01-01T12:00:00")),  # key absent from quotes
+    ]
+    return spark.createDataFrame(rows, ["tid", "sym", "tts"])
+
+
+def test_asof_backward_left(quotes, trades):
+    out = asof_join(trades, quotes, "sym", "sym", "tts", "qts", ["px"])
+    got = {r["tid"]: r["asof_px"] for r in out.collect()}
+    assert got == {
+        "t1": None,  # no quote yet
+        "t2": 3.0,   # inclusive at equal ts; tie broken to greatest payload
+        "t3": 3.0,
+        "t4": 4.0,
+        "t5": None,
+        "t6": None,
+    }
+
+
+def test_asof_inner_drops_unmatched(quotes, trades):
+    out = asof_join(trades, quotes, "sym", "sym", "tts", "qts", ["px"], how="inner")
+    assert {r["tid"] for r in out.collect()} == {"t2", "t3", "t4"}
+
+
+def test_asof_forward(quotes, trades):
+    out = asof_join(
+        trades, quotes, "sym", "sym", "tts", "qts", ["px"], direction="forward"
+    )
+    got = {r["tid"]: r["asof_px"] for r in out.collect()}
+    assert got == {
+        "t1": 1.0,   # earliest at-or-after
+        "t2": 3.0,   # inclusive; tie to greatest payload
+        "t3": 4.0,
+        "t4": None,  # nothing after
+        "t5": 9.0,
+        "t6": None,
+    }
+
+
+def test_asof_preserves_left_columns_and_rowcount(quotes, trades):
+    out = asof_join(trades, quotes, "sym", "sym", "tts", "qts", ["px", "qts"])
+    assert out.columns == ["tid", "sym", "tts", "asof_px", "asof_qts"]
+    assert out.count() == trades.count()
+
+
+def test_asof_matches_bruteforce(spark):
+    """Union-timeline plan == naive inequality-join + keep-latest on a
+    pseudo-random frame (deterministic hash-derived timestamps)."""
+    n_l, n_r, n_keys = 300, 200, 7
+    left = spark.range(n_l).select(
+        F.col("id").alias("lid"),
+        F.pmod(F.xxhash64("id"), F.lit(n_keys)).alias("k"),
+        F.pmod(F.xxhash64("id", F.lit(1)), F.lit(10_000)).alias("lt"),
+    )
+    right = spark.range(n_r).select(
+        F.col("id").alias("rid"),
+        F.pmod(F.xxhash64("id", F.lit(2)), F.lit(n_keys)).alias("k"),
+        F.pmod(F.xxhash64("id", F.lit(3)), F.lit(10_000)).alias("rt"),
+    )
+    out = asof_join(left, right, "k", "k", "lt", "rt", ["rid", "rt"])
+    got = {r["lid"]: (r["asof_rid"], r["asof_rt"]) for r in out.collect()}
+
+    naive = (
+        left.join(right, "k")
+        .filter(F.col("rt") <= F.col("lt"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("lid").orderBy(
+                    F.col("rt").desc(), F.col("rid").desc()
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    want = {r["lid"]: (r["rid"], r["rt"]) for r in naive.collect()}
+    for lid in range(n_l):
+        assert got.get(lid, (None, None)) == want.get(lid, (None, None)), lid
+    assert len(got) == n_l  # left semantics keep every left row
+
+
+def test_asof_single_key_shuffle(quotes, trades):
+    """The whole plan needs exactly one hash-partitioning exchange (on the
+    join key) — no broadcast of either side, no global sort."""
+    out = asof_join(trades, quotes, "sym", "sym", "tts", "qts", ["px"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_asof_rejects_bad_args(quotes, trades):
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(trades, quotes, "sym", "sym", "tts", "qts", ["px"], direction="x")
+    with pytest.raises(ValueError, match="how"):
+        asof_join(trades, quotes, "sym", "sym", "tts", "qts", ["px"], how="full")
+    with pytest.raises(ValueError, match="same length"):
+        asof_join(trades, quotes, ["sym", "tid"], "sym", "tts", "qts", ["px"])
+
+
+# ---------------------------------------------------------------------------
+# packing
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def packed(spark):
+    docs = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        (F.pmod(F.xxhash64("id"), F.lit(400)) + 1).alias("n_tokens"),
+    )
+    return pack_sequences(docs, "doc_id", "n_tokens", budget=512, n_shards=8).cache()
+
+
+def test_packing_total_coverage(packed):
+    # every doc assigned exactly once
+    assert packed.count() == 1000
+    assert packed.select("doc_id").distinct().count() == 1000
+
+
+def test_packing_bin_rule(packed):
+    # streaming rule: seq_id == floor(exclusive-prefix / budget), prefix
+    # consistent with the in-shard doc_id order
+    rows = packed.orderBy("shard", "doc_id").collect()
+    by_shard = {}
+    for r in rows:
+        cum = by_shard.get(r["shard"], 0)
+        assert r["cum_before"] == cum
+        assert r["seq_id"] == cum // 512
+        by_shard[r["shard"]] = cum + r["n_tokens"]
+
+
+def test_packing_sequences_fill_budget(packed):
+    """Every sequence except a shard's last spans its full budget window:
+    it ends at-or-past the (seq_id+1)*budget boundary (the straddling doc
+    carries the overflow)."""
+    man = sequence_manifest(packed, "n_tokens")
+    rows = man.collect()
+    last_seq = {}
+    for r in rows:
+        last_seq[r["shard"]] = max(last_seq.get(r["shard"], -1), r["seq_id"])
+    for r in rows:
+        if r["seq_id"] < last_seq[r["shard"]]:
+            end = r["last_doc_cum"]  # last doc starts in-window...
+            assert end < (r["seq_id"] + 1) * 512
+            # ...and the next window's first doc starts at its own cum,
+            # so this sequence's docs+overflow cover the boundary
+    # manifest totals reconcile with the doc-level frame
+    assert sum(r["total_tokens"] for r in rows) == sum(
+        r["n_tokens"] for r in packed.collect()
+    )
+
+
+def test_packing_no_global_sort(packed):
+    plan = packed._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_packing_rejects_bad_args(spark):
+    docs = spark.range(3).select(F.col("id").alias("doc_id"), F.lit(5).alias("n"))
+    with pytest.raises(ValueError):
+        pack_sequences(docs, "doc_id", "n", budget=0, n_shards=4)
+    with pytest.raises(ValueError):
+        pack_sequences(docs, "doc_id", "n", budget=16, n_shards=0)

@@ -211,7 +211,35 @@ def main() -> None:
         notes.append("OK no md5 pipeline inside any Filter (token-count scan precondition shape)")
     sections.append(("dedupe_minhash_lsh (finding-#8 guard)", plan_of(q), notes))
 
-    # 9. bucketed layout: uniqueness over a bucketed table has NO Exchange
+    # 9. as-of join: union-timeline plan — exactly ONE hash-partition
+    # exchange on the key, no SinglePartition funnel, no BNL/cartesian
+    # (the inequality-join formulation this operator exists to avoid)
+    q = REGISTRY["events_asof_purchase"][0](spark, SF)
+    p = plan_of(q)
+    notes = check(
+        "events_asof_purchase", p,
+        must=[],
+        must_not=[r"Exchange SinglePartition", r"BroadcastNestedLoopJoin", r"CartesianProduct"],
+    )
+    n_ex = len(re.findall(r"\(\d+\) Exchange", p))
+    if n_ex != 1 or "hashpartitioning(user_id" not in p:
+        failures.append(f"events_asof_purchase: expected 1 key exchange, saw {n_ex}")
+        notes.append(f"VIOLATION {n_ex} exchanges / key partitioning absent (want 1 on user_id)")
+    else:
+        notes.append("OK single hashpartitioning(user_id) exchange (union-timeline shape)")
+    sections.append(("events_asof_purchase (as-of union-timeline)", p, notes))
+
+    # 10. sequence packing: shard-partitioned windows only — no global sort
+    q = REGISTRY["pack_sequences"][0](spark, SF)
+    p = plan_of(q)
+    notes = check(
+        "pack_sequences", p,
+        must=[r"Window"],
+        must_not=[r"Exchange SinglePartition", r"Exchange rangepartitioning"],
+    )
+    sections.append(("pack_sequences (shard-local windows)", p, notes))
+
+    # 11. bucketed layout: uniqueness over a bucketed table has NO Exchange
     from hashio_spark.sources.bucketed import bucketed_self_check, has_exchange, write_bucketed
 
     write_bucketed(docs_t.select("doc_id", "partition_id"), "t_audit_bucketed", "doc_id", n_buckets=8)
