@@ -62,7 +62,7 @@ def cmd_validate(args) -> int:
               f"valid: {sorted(valid_checks)}", file=sys.stderr)
         return 2
     res = validate(docs, catalog, algo=algo, parity=args.parity, checks=checks,
-                   extra_algos=extra_algos)
+                   extra_algos=extra_algos, with_sketches=args.sketches)
     if store is not None:
         store.merge(manifest_rows(res, args.run_id, algo, lineage=",".join(inputs),
                                   extra_algos=extra_algos))
@@ -170,6 +170,29 @@ def cmd_drift(args) -> int:
     return 0
 
 
+def cmd_distinct(args) -> int:
+    """Distinct doc_id estimate from stored manifest HLL sketches
+    (written by ``validate --sketches``) — manifest-sized work, the
+    corpus is never rescanned; the union de-overlaps runs correctly."""
+    from hashio_spark.operators.sketches import merged_distinct
+    from hashio_spark.sources.manifest_store import ManifestStore
+
+    spark = _spark(args)
+    store = ManifestStore(spark, args.manifest)
+    m = store.read()
+    if args.run_id:
+        m = m.filter(F.col("run_id").isin(args.run_id))
+    per = {r["run_id"]: r["distinct_estimate"]
+           for r in merged_distinct(m, by=("run_id",)).collect()}
+    if not per:
+        print(json.dumps({"error": "no sketch-bearing manifest rows",
+                          "hint": "write runs with: validate --sketches"}))
+        return 1
+    total = merged_distinct(m).first()["distinct_estimate"]
+    print(json.dumps({"runs": per, "distinct_across_runs": total}))
+    return 0
+
+
 def cmd_migrate(args) -> int:
     """Re-layout a pre-partitioning legacy manifest store (reference
     ``--update-cache``, ``/root/reference/lib/hashio/cli.py:338-343``)."""
@@ -226,6 +249,8 @@ def main(argv: list[str] | None = None) -> int:
     v.add_argument("--violations-out")
     v.add_argument("--checks", help="comma list of shape,uniqueness,referential (default all)")
     v.add_argument("--export", help="also export the report manifest (.json/.txt/.mhl by extension)")
+    v.add_argument("--sketches", action="store_true",
+                   help="store per-partition HLL doc_id sketches in the manifest (enables `distinct`)")
     v.set_defaults(fn=cmd_validate)
 
     for name, fn in (("verify", cmd_verify), ("diff", cmd_diff)):
@@ -256,6 +281,11 @@ def main(argv: list[str] | None = None) -> int:
     dft.add_argument("--other-run", required=True)
     dft.add_argument("--threshold", type=float, default=0.25)
     dft.set_defaults(fn=cmd_drift)
+
+    dct = sub.add_parser("distinct", help="distinct doc_id estimate from stored manifest HLL sketches (no corpus rescan)")
+    dct.add_argument("--manifest", required=True)
+    dct.add_argument("--run-id", action="append", help="restrict to these runs (repeatable); default all")
+    dct.set_defaults(fn=cmd_distinct)
 
     mg = sub.add_parser("migrate", help="re-layout a legacy unpartitioned manifest store (--update-cache analog)")
     mg.add_argument("--manifest", required=True)

@@ -58,6 +58,7 @@ def validate(
     group_digest: str | None = None,
     checks: frozenset[str] = frozenset({"shape", "uniqueness", "referential"}),
     extra_algos: tuple[str, ...] = (),
+    with_sketches: bool = False,
 ) -> ValidationResult:
     """Run the full stats + constraint + digest pass.
 
@@ -74,6 +75,12 @@ def validate(
     and a ``digest_<algo>`` group digest to the same report aggregation.
     :func:`manifest_rows` fans the report out into one manifest row per
     algo.
+
+    ``with_sketches`` adds a base64 HLL sketch of doc_id per partition
+    (``operators/sketches.py``) to the report; via :func:`manifest_rows`
+    it lands in the stored stats map, so cross-run distinct counts are
+    later answered by unioning manifest sketches instead of rescanning
+    the corpus.
 
     ``persist_violations`` caches the violation rows: they feed two
     consumers (the report's per-partition violation_count join and the
@@ -185,6 +192,14 @@ def validate(
                 ",", *[F.sum((F.col("_qb") == i).cast("long")).cast("string") for i in range(20)]
             ).alias("quality_hist")
         )
+    if with_sketches:
+        from hashio_spark.operators.sketches import SKETCH_KEY, hll_sketch_expr
+
+        # rides the same narrow side scan: sketch update is cheap per row
+        # and the serialized sketch (KBs) only crosses the wire once per
+        # map-side partial — never the wide aggregation's codegen budget
+        side_sel.append(F.col("doc_id").alias("_sk_id"))
+        side_aggs.append(hll_sketch_expr("_sk_id").alias(SKETCH_KEY))
     if side_aggs:
         side = docs.select(*side_sel).groupBy("partition_id").agg(*side_aggs)
         report = report.join(side, "partition_id", "left_outer")

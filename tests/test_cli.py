@@ -148,3 +148,37 @@ def test_pyfiles_zip_importable(tmp_path):
     env = {k: v for k, v in __import__("os").environ.items() if k != "PYTHONPATH"}
     r = subprocess.run([sys.executable, "-c", code], capture_output=True, text=True, env=env)
     assert r.returncode == 0 and "zip-import-ok" in r.stdout, r.stderr
+
+
+def test_cli_sketches_distinct_roundtrip(io_dirs, capsys, tmp_path_factory):
+    """validate --sketches stores HLL sketches; `distinct` answers from
+    manifests alone, de-overlapping runs (both runs hash the same docs,
+    so across-runs distinct ≈ one run's, not the sum)."""
+    root = tmp_path_factory.mktemp("sketch")
+    man = str(root / "manifest")
+    for run in ("skA", "skB"):
+        rc = main([
+            "validate", "--input", io_dirs["docs"], "--manifest", man,
+            "--run-id", run, "--algo", "xxh64", "--checks", "shape", "--sketches",
+        ])
+        assert rc == 0
+    capsys.readouterr()
+    assert main(["distinct", "--manifest", man]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert set(out["runs"]) == {"skA", "skB"}
+    for est in out["runs"].values():
+        assert abs(est - 200) / 200 < 0.05
+    assert abs(out["distinct_across_runs"] - 200) / 200 < 0.05
+
+    # single-run restriction
+    assert main(["distinct", "--manifest", man, "--run-id", "skA"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert set(out["runs"]) == {"skA"}
+
+
+def test_cli_distinct_without_sketches_errors(io_dirs, capsys):
+    """A store whose runs were written without --sketches reports the
+    gap loudly instead of returning an empty estimate."""
+    assert main(["distinct", "--manifest", io_dirs["manifest"]]) == 1
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "sketch" in out["hint"]
