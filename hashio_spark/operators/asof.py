@@ -77,6 +77,12 @@ def asof_join(
     clash = set(left.columns) & {_TS, _SIDE, _VAL, _M}
     if clash:
         raise ValueError(f"left columns collide with internals: {sorted(clash)}")
+    out_clash = set(left.columns) & {f"{prefix}{c}" for c in value_cols}
+    if out_clash:
+        raise ValueError(
+            f"left columns collide with matched output names: {sorted(out_clash)}"
+            " — pass a different prefix"
+        )
 
     r = right.select(
         *[F.col(rk).alias(lk) for rk, lk in zip(rkeys, lkeys)],

@@ -51,6 +51,9 @@ def pack_sequences(
     """
     if budget <= 0 or n_shards <= 0:
         raise ValueError("budget and n_shards must be positive")
+    clash = set(docs.columns) & {"shard", "cum_before", "seq_id", "pos"}
+    if clash:
+        raise ValueError(f"input columns collide with packing outputs: {sorted(clash)}")
     shard = shard_expr if shard_expr is not None else F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards))
     d = docs.withColumn("shard", shard.cast("long"))
     w = Window.partitionBy("shard").orderBy(id_col)

@@ -201,3 +201,17 @@ def test_packing_rejects_bad_args(spark):
         pack_sequences(docs, "doc_id", "n", budget=0, n_shards=4)
     with pytest.raises(ValueError):
         pack_sequences(docs, "doc_id", "n", budget=16, n_shards=0)
+
+
+def test_asof_rejects_output_name_collision(spark, quotes, trades):
+    t2 = trades.withColumn("asof_px", F.lit(0.0))
+    with pytest.raises(ValueError, match="prefix"):
+        asof_join(t2, quotes, "sym", "sym", "tts", "qts", ["px"])
+
+
+def test_packing_rejects_column_collision(spark):
+    docs = spark.range(3).select(
+        F.col("id").alias("doc_id"), F.lit(5).alias("n"), F.lit(1).alias("shard")
+    )
+    with pytest.raises(ValueError, match="collide"):
+        pack_sequences(docs, "doc_id", "n", budget=16, n_shards=4)
