@@ -69,6 +69,7 @@ BENCH_QUERIES = [
     "repetition_stats",
     "sample_stratified",
     "sample_cap_per_group",
+    "numeric_quantiles",
     "events_asof_purchase",
     "pack_sequences",
     "media_features",

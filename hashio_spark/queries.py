@@ -1919,3 +1919,40 @@ FROM c GROUP BY 1, 2
 
 
 REGISTRY["pack_sequences"] = (pack_sequences_manifest, PACK_SEQUENCES_SQL)
+
+
+def numeric_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group exact interpolated percentiles of event value — the
+    quantile tier of the stats axis (reference F14 exposes only
+    null/min/max; quartiles are what a drift baseline actually wants).
+    Exact ``percentile`` sorts each group — right for low-cardinality
+    groupings like this one (5 event types; per-group sort is
+    distributed); at 10^12 rows over high-cardinality groups the
+    production path is ``approx_percentile`` (t-digest, mergeable
+    map-side partials), which has no DuckDB-replicable result and so
+    stays the documented scale twin."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            *[
+                F.round(F.percentile("value", p), 6).alias(f"p{int(p * 100)}")
+                for p in (0.25, 0.5, 0.75, 0.95)
+            ],
+            F.count("value").alias("n"),
+        )
+    )
+
+
+NUMERIC_QUANTILES_SQL = """
+SELECT event_type,
+  round(quantile_cont(value, 0.25), 6) AS p25,
+  round(quantile_cont(value, 0.50), 6) AS p50,
+  round(quantile_cont(value, 0.75), 6) AS p75,
+  round(quantile_cont(value, 0.95), 6) AS p95,
+  count(value) AS n
+FROM events GROUP BY event_type
+"""
+
+
+REGISTRY["numeric_quantiles"] = (numeric_quantiles, NUMERIC_QUANTILES_SQL)
