@@ -53,17 +53,23 @@ def connected_components(
                 .groupBy("n")
                 .agg(F.min("label").alias("_nbr"))
             )
+            # carry the previous label through the update so convergence is
+            # a filter-count on the (persisted) new frame — not an extra
+            # join back against the old labels (one fewer shuffle/round)
             new_labels = (
                 labels.join(cand, "n", "left_outer")
-                .select("n", F.least(F.col("label"), F.coalesce(F.col("_nbr"), F.col("label"))).alias("label"))
+                .select(
+                    "n",
+                    F.col("label").alias("_old"),
+                    F.least(F.col("label"), F.coalesce(F.col("_nbr"), F.col("label"))).alias("label"),
+                )
                 .persist()
             )
-            changed = (
-                new_labels.join(labels.withColumnRenamed("label", "_old"), "n")
-                .filter(F.col("label") != F.col("_old"))
-                .count()
-            )
+            changed = new_labels.filter(F.col("label") != F.col("_old")).count()
             labels.unpersist()
+            # keep the PERSISTED frame itself (unpersist on a .drop()
+            # projection would not release the cache); the stray _old
+            # column is projected away by the next round / final select
             labels = new_labels
             if changed == 0:
                 break
