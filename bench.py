@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "numeric_quantiles",
     "events_asof_purchase",
     "pack_sequences",
+    "corpus_clean_pipeline",
     "media_features",
     "media_frames",
     "media_resize",

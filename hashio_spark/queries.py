@@ -1956,3 +1956,102 @@ FROM events GROUP BY event_type
 
 
 REGISTRY["numeric_quantiles"] = (numeric_quantiles, NUMERIC_QUANTILES_SQL)
+
+
+def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone composition — the full training-corpus cleaning pipeline
+    as ONE lazy plan, oracle-checked end to end:
+
+      quality gate (token count + alpha ratio)
+        → prefix-fingerprint exact dedupe (md5 of the first 64 chars,
+          keep the smallest doc_id — truncation/boilerplate dups)
+        → benchmark decontamination (drop docs sharing any 3-gram with
+          the held-out benchmark subset, operators/decontaminate)
+        → fixed-budget sequence packing (operators/packing)
+
+    Output is the packed-sequence manifest of the surviving corpus, so a
+    single value-hash certifies every stage's survivor set AND the
+    packing coordinates.  Each stage is the registered operator the
+    standalone queries exercise; at scale the plan is: one codegen'd
+    scan for gate+fingerprint, one dedupe shuffle, the broadcast
+    gram anti-join, one shard shuffle for packing."""
+    from hashio_spark.operators.decontaminate import contamination
+    from hashio_spark.operators.packing import pack_sequences, sequence_manifest
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    train = d.filter(F.col("doc_id") % 97 != 0)
+
+    text = F.col("text")
+    n_tokens = F.size(F.split(text, " "))
+    alpha_ratio = (
+        F.length(F.regexp_replace(text, "[^a-z]", "")).cast("double")
+        / F.length(text).cast("double")
+    )
+    gated = train.select("doc_id", "text", n_tokens.alias("n_tokens")).filter(
+        (n_tokens >= 20) & (alpha_ratio >= 0.5)
+    )
+
+    w = Window.partitionBy(F.md5(F.substring(text, 1, 64))).orderBy("doc_id")
+    deduped = (
+        gated.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+    )
+
+    bad = contamination(deduped, bench, "doc_id", "text", k=3, hashed=False)
+    clean = deduped.join(bad, "doc_id", "left_anti").select("doc_id", "n_tokens")
+
+    packed = pack_sequences(
+        clean, "doc_id", "n_tokens", budget=2048, n_shards=8,
+        shard_expr=F.pmod(F.col("doc_id"), F.lit(8)),
+    )
+    return sequence_manifest(packed, "n_tokens")
+
+
+CORPUS_CLEAN_SQL = """
+WITH t0 AS (
+  SELECT doc_id, text, string_split(text, ' ') AS toks
+  FROM documents WHERE doc_id % 97 <> 0
+),
+gated AS (
+  SELECT doc_id, text, len(toks) AS n_tokens FROM t0
+  WHERE len(toks) >= 20
+    AND cast(length(regexp_replace(text, '[^a-z]', '', 'g')) AS double)
+        / cast(length(text) AS double) >= 0.5
+),
+dedup AS (
+  SELECT doc_id, text, n_tokens FROM (
+    SELECT *, row_number() OVER (PARTITION BY md5(substr(text, 1, 64)) ORDER BY doc_id) AS rn
+    FROM gated
+  ) WHERE rn = 1
+),
+tok2 AS (SELECT doc_id, string_split(text, ' ') AS t FROM dedup),
+sh AS (SELECT doc_id, list_transform(generate_series(1, len(t) - 2),
+                                     i -> concat(t[i], ' ', t[i+1], ' ', t[i+2])) AS gs FROM tok2),
+doc_g AS (SELECT DISTINCT doc_id, unnest(gs) AS gram FROM sh),
+bench_tok AS (SELECT string_split(text, ' ') AS t FROM documents WHERE doc_id % 97 = 0),
+bench_sh AS (SELECT list_transform(generate_series(1, len(t) - 2),
+                                   i -> concat(t[i], ' ', t[i+1], ' ', t[i+2])) AS gs FROM bench_tok),
+bench_g AS (SELECT DISTINCT unnest(gs) AS gram FROM bench_sh),
+contaminated AS (SELECT DISTINCT doc_id FROM doc_g JOIN bench_g USING (gram)),
+clean AS (
+  SELECT doc_id, n_tokens FROM dedup
+  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+),
+c AS (
+  SELECT doc_id, doc_id % 8 AS shard, n_tokens,
+    cast(coalesce(sum(n_tokens) OVER (
+      PARTITION BY doc_id % 8 ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bigint) AS cum_before
+  FROM clean
+)
+SELECT cast(shard AS bigint) AS shard,
+  cast(floor(cum_before / 2048.0) AS bigint) AS seq_id,
+  count(*) AS n_docs,
+  cast(sum(n_tokens) AS bigint) AS total_tokens,
+  min(cum_before) AS first_doc_cum,
+  max(cum_before) AS last_doc_cum
+FROM c GROUP BY 1, 2
+"""
+
+
+REGISTRY["corpus_clean_pipeline"] = (corpus_clean_pipeline, CORPUS_CLEAN_SQL)
