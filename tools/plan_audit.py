@@ -239,7 +239,18 @@ def main() -> None:
     )
     sections.append(("pack_sequences (shard-local windows)", p, notes))
 
-    # 11. bucketed layout: uniqueness over a bucketed table has NO Exchange
+    # 11. capstone pipeline: whole cleaning chain in one plan — no
+    # python in the hot path, no cartesian, packing windows shard-local
+    q = REGISTRY["corpus_clean_pipeline"][0](spark, SF)
+    p = plan_of(q)
+    notes = check(
+        "corpus_clean_pipeline", p,
+        must=[r"Window"],
+        must_not=[r"BatchEvalPython", r"CartesianProduct", r"Exchange rangepartitioning"],
+    )
+    sections.append(("corpus_clean_pipeline (gate→dedupe→decontaminate→pack)", p, notes))
+
+    # 12. bucketed layout: uniqueness over a bucketed table has NO Exchange
     from hashio_spark.sources.bucketed import bucketed_self_check, has_exchange, write_bucketed
 
     write_bucketed(docs_t.select("doc_id", "partition_id"), "t_audit_bucketed", "doc_id", n_buckets=8)
