@@ -121,3 +121,68 @@ def test_composite_digest_matches_python_replica(spark, pairs):
     got = df.agg(composite_digest_expr("k", "h", "md5").alias("d")).first()["d"]
     lines = "\n".join(f"{k}:{h}" for k, h in sorted(pairs))
     assert got == hashlib.md5(lines.encode()).hexdigest()
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(st.tuples(st.integers(0, 3), st.integers(0, 50)), min_size=1, max_size=25),
+    st.lists(st.tuples(st.integers(0, 3), st.integers(0, 50)), min_size=0, max_size=25),
+)
+def test_asof_join_matches_python_model(spark, lrows, rrows):
+    """asof_join (union-timeline plan) == the point-in-time model: for
+    each left row, the right row with max (ts, rid) among same-key rows
+    at-or-before it — over generated frames with heavy key/ts ties."""
+    from hashio_spark.operators.asof import asof_join
+
+    left = pd.DataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(lrows)], columns=["lid", "k", "lt"]
+    )
+    right = pd.DataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(rrows)], columns=["rid", "k", "rt"]
+    )
+    out = asof_join(
+        spark.createDataFrame(left),
+        spark.createDataFrame(right) if len(right) else
+        spark.createDataFrame([], "rid long, k long, rt long"),
+        "k", "k", "lt", "rt", ["rid"],
+    )
+    got = {r["lid"]: r["asof_rid"] for r in out.collect()}
+    for lid, (k, lt) in enumerate(lrows):
+        cands = [(rt, rid) for rid, (rk, rt) in enumerate(rrows) if rk == k and rt <= lt]
+        want = max(cands)[1] if cands else None
+        assert got[lid] == want, (lid, k, lt)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(st.integers(1, 120), min_size=1, max_size=40),
+    st.integers(16, 256),
+    st.integers(1, 4),
+)
+def test_pack_sequences_matches_python_model(spark, tokens, budget, n_shards):
+    """pack_sequences == the streaming prefix-sum model per shard, for
+    generated token counts, budgets, and shard counts."""
+    from pyspark.sql import functions as F
+
+    from hashio_spark.operators.packing import pack_sequences
+
+    pdf = pd.DataFrame({"doc_id": range(len(tokens)), "n_tokens": tokens})
+    out = pack_sequences(
+        spark.createDataFrame(pdf), "doc_id", "n_tokens", budget, n_shards,
+        shard_expr=F.pmod(F.col("doc_id"), F.lit(n_shards)),
+    )
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert len(rows) == len(tokens)
+    cum = {}
+    pos = {}
+    for doc_id in range(len(tokens)):
+        shard = doc_id % n_shards
+        c = cum.get(shard, 0)
+        r = rows[doc_id]
+        assert r["shard"] == shard
+        assert r["cum_before"] == c
+        assert r["seq_id"] == c // budget
+        p = pos.get((shard, c // budget), 0) + 1
+        pos[(shard, c // budget)] = p
+        assert r["pos"] == p
+        cum[shard] = c + tokens[doc_id]
