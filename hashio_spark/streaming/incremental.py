@@ -22,14 +22,29 @@ from hashio_spark.plans.validate import manifest_rows, validate
 from hashio_spark.sources.manifest_store import ManifestStore
 
 
-def validation_sink(store: ManifestStore, run_id: str, algo: str = "xxh64", catalog: DataFrame | None = None):
+def validation_sink(
+    store: ManifestStore,
+    run_id: str,
+    algo: str = "xxh64",
+    catalog: DataFrame | None = None,
+    with_sketches: bool = False,
+):
     """foreachBatch function: validate the micro-batch, merge its report
-    into the manifest (idempotent on re-delivery — exactly-once effect)."""
+    into the manifest (idempotent on re-delivery — exactly-once effect).
+
+    ``with_sketches`` stores the per-partition HLL doc_id sketch like the
+    batch path does.  Merge semantics are the manifest's usual
+    last-writer-wins per (run_id, partition_id, algo) — the stored sketch
+    covers the latest merged batch for that partition, exactly like
+    row_count and every other stats-map entry; a stream whose partitions
+    arrive whole (the intended layout) therefore ends with full-partition
+    sketches."""
 
     def _sink(batch_df: DataFrame, epoch_id: int) -> None:
         if not batch_df.head(1):
             return
-        res = validate(batch_df, catalog=catalog, algo=algo, persist_violations=True)
+        res = validate(batch_df, catalog=catalog, algo=algo, persist_violations=True,
+                       with_sketches=with_sketches)
         rows = manifest_rows(res, run_id=f"{run_id}", algo=algo, lineage=f"epoch={epoch_id}")
         store.merge(rows, prefer_new=True)
         res.violations.unpersist()
@@ -44,10 +59,13 @@ def stream_validation(
     algo: str = "xxh64",
     catalog: DataFrame | None = None,
     checkpoint_dir: str | None = None,
+    with_sketches: bool = False,
 ):
     """Wire a streaming documents DataFrame into the validation sink.
     Returns the StreamingQuery (caller controls trigger/await)."""
-    writer = stream_docs.writeStream.foreachBatch(validation_sink(store, run_id, algo, catalog))
+    writer = stream_docs.writeStream.foreachBatch(
+        validation_sink(store, run_id, algo, catalog, with_sketches)
+    )
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.trigger(availableNow=True).start()

@@ -116,3 +116,31 @@ def test_merge_prefer_new_is_deterministic(spark, tmp_path):
     assert store.read().collect()[0]["digest"] == "new"
     store.merge(one("ignored", "2024-01-03 00:00:00"), prefer_new=False)
     assert store.read().collect()[0]["digest"] == "new"
+
+
+def test_stream_validation_with_sketches(spark, tmp_path):
+    """Streaming sink stores the HLL sketch; merged_distinct answers from
+    the streamed manifest (sketch covers the latest merged batch per
+    partition — here one file per partition, so full partitions)."""
+    from hashio_spark.datagen import documents_interleaved
+    from hashio_spark.operators.sketches import SKETCH_KEY, merged_distinct
+
+    src_dir = str(tmp_path / "src")
+    (documents_interleaved(spark, n_docs=400, n_partitions=4)
+     .repartition("partition_id")
+     .write.mode("overwrite").partitionBy("partition_id").parquet(src_dir))
+    schema = spark.read.parquet(src_dir).schema
+
+    store = ManifestStore(spark, str(tmp_path / "manifest"))
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src_dir)
+    q = stream_validation(
+        stream, store, run_id="sk-run", algo="xxh64",
+        checkpoint_dir=str(tmp_path / "ckpt"), with_sketches=True,
+    )
+    q.awaitTermination(120)
+
+    m = store.read()
+    keys = m.select(F.map_keys("stats").alias("k")).first()["k"]
+    assert SKETCH_KEY in keys
+    est = merged_distinct(m).first()["distinct_estimate"]
+    assert abs(est - 400) / 400 < 0.05
