@@ -215,3 +215,20 @@ def test_packing_rejects_column_collision(spark):
     )
     with pytest.raises(ValueError, match="collide"):
         pack_sequences(docs, "doc_id", "n", budget=16, n_shards=4)
+
+
+def test_asof_composite_keys(spark):
+    """Multi-column join keys, with the right side using different key
+    names (renamed onto the left's)."""
+    left = spark.createDataFrame(
+        [("a", 1, 10), ("a", 2, 10), ("b", 1, 10)], ["k1", "k2", "lt"]
+    )
+    right = spark.createDataFrame(
+        [("a", 1, 5, 100.0), ("a", 2, 7, 200.0), ("a", 2, 11, 300.0)],
+        ["r1", "r2", "rt", "v"],
+    )
+    out = asof_join(
+        left, right, ["k1", "k2"], ["r1", "r2"], "lt", "rt", ["v"]
+    )
+    got = {(r["k1"], r["k2"]): r["asof_v"] for r in out.collect()}
+    assert got == {("a", 1): 100.0, ("a", 2): 200.0, ("b", 1): None}
