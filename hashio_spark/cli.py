@@ -193,6 +193,34 @@ def cmd_distinct(args) -> int:
     return 0
 
 
+def cmd_pack(args) -> int:
+    """Pack documents into fixed token-budget training sequences and
+    write the per-doc coordinates (+ optionally the per-sequence
+    manifest) as parquet — the loader-side index of which docs build
+    which sequence (operators/packing.py)."""
+    from hashio_spark.operators.packing import pack_sequences, sequence_manifest
+
+    spark = _spark(args)
+    inputs = list(dict.fromkeys(args.input))
+    docs = spark.read.parquet(*inputs)
+    if args.tokens_col not in docs.columns:
+        if args.text_col not in docs.columns:
+            print(f"error: neither --tokens-col {args.tokens_col!r} nor "
+                  f"--text-col {args.text_col!r} exists in the input", file=sys.stderr)
+            return 2
+        docs = docs.withColumn(args.tokens_col, F.size(F.split(F.col(args.text_col), " ")))
+    packed = pack_sequences(
+        docs.select(args.id_col, args.tokens_col),
+        args.id_col, args.tokens_col, budget=args.budget, n_shards=args.shards,
+    )
+    packed.write.mode("overwrite").partitionBy("shard").parquet(args.out)
+    if args.manifest_out:
+        sequence_manifest(packed, args.tokens_col).write.mode("overwrite").parquet(args.manifest_out)
+    n = spark.read.parquet(args.out).count()
+    print(json.dumps({"docs_packed": n, "budget": args.budget, "shards": args.shards, "out": args.out}))
+    return 0
+
+
 def cmd_migrate(args) -> int:
     """Re-layout a pre-partitioning legacy manifest store (reference
     ``--update-cache``, ``/root/reference/lib/hashio/cli.py:338-343``)."""
@@ -281,6 +309,18 @@ def main(argv: list[str] | None = None) -> int:
     dft.add_argument("--other-run", required=True)
     dft.add_argument("--threshold", type=float, default=0.25)
     dft.set_defaults(fn=cmd_drift)
+
+    pk = sub.add_parser("pack", help="pack documents into fixed token-budget training sequences")
+    pk.add_argument("--input", required=True, action="append")
+    pk.add_argument("--out", required=True, help="per-doc (shard, seq_id, pos) coordinates, parquet partitioned by shard")
+    pk.add_argument("--manifest-out", help="also write the per-sequence manifest parquet")
+    pk.add_argument("--budget", type=int, default=2048)
+    pk.add_argument("--shards", type=int, default=1024)
+    pk.add_argument("--id-col", default="doc_id")
+    pk.add_argument("--tokens-col", default="n_tokens")
+    pk.add_argument("--text-col", default="text",
+                    help="fallback: derive the token count from this column when --tokens-col is absent")
+    pk.set_defaults(fn=cmd_pack)
 
     dct = sub.add_parser("distinct", help="distinct doc_id estimate from stored manifest HLL sketches (no corpus rescan)")
     dct.add_argument("--manifest", required=True)

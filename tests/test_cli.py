@@ -182,3 +182,40 @@ def test_cli_distinct_without_sketches_errors(io_dirs, capsys):
     assert main(["distinct", "--manifest", io_dirs["manifest"]]) == 1
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert "sketch" in out["hint"]
+
+
+def test_cli_pack_roundtrip(spark, tmp_path, capsys):
+    """pack derives token counts from text when absent, writes per-doc
+    coordinates partitioned by shard plus the sequence manifest, and the
+    two reconcile."""
+    src = str(tmp_path / "docs.parquet")
+    spark.range(300).selectExpr(
+        "cast(id AS string) AS doc_id",
+        "repeat('w ', cast(id % 40 + 1 AS int)) AS text",
+    ).write.mode("overwrite").parquet(src)
+    out, man = str(tmp_path / "packed"), str(tmp_path / "seqman")
+    rc = main([
+        "pack", "--input", src, "--out", out, "--manifest-out", man,
+        "--budget", "64", "--shards", "4",
+    ])
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["docs_packed"] == 300
+    packed = spark.read.parquet(out)
+    manifest = spark.read.parquet(man)
+    assert packed.count() == 300
+    assert packed.select("shard").distinct().count() == 4
+    # manifest totals reconcile with per-doc coordinates
+    assert (
+        manifest.groupBy().sum("n_docs").first()[0] == 300
+        and manifest.groupBy().sum("total_tokens").first()[0]
+        == packed.groupBy().sum("n_tokens").first()[0]
+    )
+
+
+def test_cli_pack_missing_columns_errors(spark, tmp_path, capsys):
+    src = str(tmp_path / "nodocs.parquet")
+    spark.range(5).selectExpr("cast(id AS string) AS doc_id").write.mode("overwrite").parquet(src)
+    rc = main(["pack", "--input", src, "--out", str(tmp_path / "o")])
+    assert rc == 2
+    assert "text" in capsys.readouterr().err
