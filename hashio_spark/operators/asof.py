@@ -113,3 +113,130 @@ def asof_join(
         *left.columns,
         *[F.col(f"{_M}.{c}").alias(f"{prefix}{c}") for c in value_cols],
     )
+
+
+_BKT = "_asof_bucket"
+
+
+def asof_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str | Sequence[str],
+    right_on: str | Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: Sequence[str],
+    *,
+    bucket_width: float,
+    how: str = "left",
+    prefix: str = "asof_",
+) -> DataFrame:
+    """Hot-key-hardened :func:`asof_join` (backward/inclusive): identical
+    output, but the timeline window partitions on ``(key, time_bucket)``
+    instead of the key alone, so one ultra-hot key's history no longer
+    sorts in a single task.
+
+    Mechanics — the carry-forward pattern for splitting a prefix scan:
+
+    1. bucket both sides by ``floor(ts / bucket_width)``;
+    2. per (key, bucket) reduce the right side to its last payload — a
+       map-side-combining aggregate, output rows = active (key, bucket)
+       pairs, tiny relative to the data;
+    3. over the per-key bucket SPINE (every bucket either side touches),
+       carry each bucket's opening payload = the latest right payload in
+       any EARLIER bucket (one window over the tiny spine);
+    4. inject each bucket's carry as a synthetic row that sorts before
+       everything in the bucket, then run the usual union-timeline window
+       partitioned by (key, bucket).
+
+    The data-sized shuffle partitions by (key, bucket): a key hot enough
+    to skew now spreads across its active buckets.  Pick ``bucket_width``
+    so one bucket of the hottest key fits a task (e.g. a day of events).
+    Costs one extra tiny aggregate + spine window over the plain variant;
+    for non-skewed keys prefer :func:`asof_join`.
+    """
+    lkeys = [left_on] if isinstance(left_on, str) else list(left_on)
+    rkeys = [right_on] if isinstance(right_on, str) else list(right_on)
+    if len(lkeys) != len(rkeys):
+        raise ValueError("left_on and right_on must have the same length")
+    if bucket_width <= 0:
+        raise ValueError("bucket_width must be positive")
+    if how not in ("left", "inner"):
+        raise ValueError(f"unknown how: {how}")
+    clash = set(left.columns) & {_TS, _SIDE, _VAL, _M, _BKT}
+    if clash:
+        raise ValueError(f"left columns collide with internals: {sorted(clash)}")
+    out_clash = set(left.columns) & {f"{prefix}{c}" for c in value_cols}
+    if out_clash:
+        raise ValueError(
+            f"left columns collide with matched output names: {sorted(out_clash)}"
+            " — pass a different prefix"
+        )
+
+    def bucket_of(ts_col: str) -> F.Column:
+        return F.floor(F.col(ts_col).cast("double") / F.lit(float(bucket_width))).cast("long")
+
+    r = right.select(
+        *[F.col(rk).alias(lk) for rk, lk in zip(rkeys, lkeys)],
+        F.col(right_ts).alias(_TS),
+        bucket_of(right_ts).alias(_BKT),
+        F.lit(0).alias(_SIDE),
+        F.struct(*[F.col(c) for c in value_cols]).alias(_VAL),
+    )
+    l = (
+        left.withColumn(_TS, F.col(left_ts))
+        .withColumn(_BKT, bucket_of(left_ts))
+        .withColumn(_SIDE, F.lit(1))
+    )
+
+    # (2) last right payload per (key, bucket): max of (ts, payload) —
+    # struct ordering gives latest ts, ties to greatest payload, matching
+    # the plain variant's tie-break
+    last_in_bucket = r.groupBy(*lkeys, _BKT).agg(
+        F.max(F.struct(F.col(_TS), F.col(_VAL))).alias("_last")
+    )
+    # (3) spine of every active (key, bucket) on either side, opening
+    # carry = latest _last of any strictly-earlier bucket
+    spine = (
+        l.select(*lkeys, _BKT)
+        .unionByName(r.select(*lkeys, _BKT))
+        .distinct()
+        .join(last_in_bucket, [*lkeys, _BKT], "left_outer")
+    )
+    wc = (
+        Window.partitionBy(*lkeys)
+        .orderBy(_BKT)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carries = (
+        spine.withColumn("_carry", F.max("_last").over(wc))
+        .filter(F.col("_carry").isNotNull())
+        .select(
+            *lkeys,
+            F.col(_BKT),
+            F.col("_carry._asof_ts").alias(_TS),
+            F.lit(-1).alias(_SIDE),
+            F.col(f"_carry.{_VAL}").alias(_VAL),
+        )
+    )
+
+    # (4) union-timeline per (key, bucket); the carry's real ts is from an
+    # earlier bucket so it sorts first naturally, and side -1 keeps it
+    # before any same-ts in-bucket right row (cannot happen — earlier
+    # bucket implies smaller ts — but belt and braces)
+    timeline = l.unionByName(r, allowMissingColumns=True).unionByName(
+        carries, allowMissingColumns=True
+    )
+    w = (
+        Window.partitionBy(*lkeys, _BKT)
+        .orderBy(F.col(_TS).asc(), F.col(_SIDE).asc(), F.col(_VAL).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    stamped = timeline.withColumn(_M, F.last(_VAL, ignorenulls=True).over(w))
+    out = stamped.filter(F.col(_SIDE) == 1)
+    if how == "inner":
+        out = out.filter(F.col(_M).isNotNull())
+    return out.select(
+        *left.columns,
+        *[F.col(f"{_M}.{c}").alias(f"{prefix}{c}") for c in value_cols],
+    )

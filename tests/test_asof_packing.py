@@ -232,3 +232,66 @@ def test_asof_composite_keys(spark):
     )
     got = {(r["k1"], r["k2"]): r["asof_v"] for r in out.collect()}
     assert got == {("a", 1): 100.0, ("a", 2): 200.0, ("b", 1): None}
+
+
+# ---------------------------------------------------------------------------
+# bucketed (hot-key) as-of
+# ---------------------------------------------------------------------------
+
+
+def _random_sides(spark, n_l=250, n_r=180, n_keys=5):
+    left = spark.range(n_l).select(
+        F.col("id").alias("lid"),
+        F.pmod(F.xxhash64("id", F.lit(7)), F.lit(n_keys)).alias("k"),
+        F.pmod(F.xxhash64("id", F.lit(8)), F.lit(1000)).alias("lt"),
+    )
+    right = spark.range(n_r).select(
+        F.col("id").alias("rid"),
+        F.pmod(F.xxhash64("id", F.lit(9)), F.lit(n_keys)).alias("k"),
+        F.pmod(F.xxhash64("id", F.lit(10)), F.lit(1000)).alias("rt"),
+    )
+    return left, right
+
+
+@pytest.mark.parametrize("width", [1, 7, 50, 10_000])
+def test_asof_bucketed_matches_plain(spark, width):
+    """Bucketed variant == plain variant for any bucket width, including
+    width 1 (every ts its own bucket — all matches come via carries) and
+    a width larger than the whole range (single bucket — degenerates to
+    the plain plan)."""
+    from hashio_spark.operators.asof import asof_join, asof_join_bucketed
+
+    left, right = _random_sides(spark)
+    plain = asof_join(left, right, "k", "k", "lt", "rt", ["rid", "rt"])
+    want = {r["lid"]: (r["asof_rid"], r["asof_rt"]) for r in plain.collect()}
+    bucketed = asof_join_bucketed(
+        left, right, "k", "k", "lt", "rt", ["rid", "rt"], bucket_width=width
+    )
+    got = {r["lid"]: (r["asof_rid"], r["asof_rt"]) for r in bucketed.collect()}
+    assert got == want
+
+
+def test_asof_bucketed_partitions_on_key_and_bucket(spark):
+    from hashio_spark.operators.asof import asof_join_bucketed
+
+    left, right = _random_sides(spark)
+    out = asof_join_bucketed(
+        left, right, "k", "k", "lt", "rt", ["rid"], bucket_width=10
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the data-sized window partitions on (key, bucket) — hot keys split
+    assert "hashpartitioning(k#" in plan and "_asof_bucket" in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_asof_bucketed_inner_and_validation(spark, quotes, trades):
+    from hashio_spark.operators.asof import asof_join_bucketed
+
+    out = asof_join_bucketed(
+        trades, quotes, "sym", "sym", "tts", "qts", ["px"],
+        bucket_width=1800.0, how="inner",
+    )
+    got = {r["tid"]: r["asof_px"] for r in out.collect()}
+    assert got == {"t2": 3.0, "t3": 3.0, "t4": 4.0}
+    with pytest.raises(ValueError, match="positive"):
+        asof_join_bucketed(trades, quotes, "sym", "sym", "tts", "qts", ["px"], bucket_width=0)
