@@ -24,11 +24,15 @@ implementation is the **union-timeline** plan instead:
 
 Cost: ONE hash-partition shuffle on the key plus a per-key sort — no row
 explosion, no broadcast requirement, and the window is key-partitioned so
-there is no single-task global sort.  At 100 TB the only hazard is an
-ultra-hot key (one key's whole timeline sorts in one task); mitigate
-upstream by splitting hot keys on a coarse time bucket and unioning the
-bucket-boundary carry-over rows, same playbook as
-``operators/constraints.salted_join`` for skewed equi-joins.
+there is no single-task global sort.  For ultra-hot keys (one key's
+whole timeline in one task) use :func:`asof_join_bucketed`, which splits
+the window across (key, time-bucket) partitions with a carry-forward
+spine.
+
+NULL timestamps: right rows with a NULL ``right_ts`` are dropped (SQL
+semantics — ``NULL <= ts`` is never true, so they can match nothing);
+left rows with a NULL ``left_ts`` survive with no match under
+``how='left'`` and are dropped under ``'inner'``.
 
 Determinism: when several right rows share a key and timestamp the
 winner is the one with the greatest payload tuple (order the tie-break
@@ -44,6 +48,49 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 _TS, _SIDE, _VAL, _M = "_asof_ts", "_asof_side", "_asof_val", "_asof_match"
+_BKT = "_asof_bucket"
+
+
+def _normalize_keys(left, left_on, right_on, value_cols, prefix, how, *, bucketed):
+    """Shared arg validation; returns (lkeys, rkeys)."""
+    lkeys = [left_on] if isinstance(left_on, str) else list(left_on)
+    rkeys = [right_on] if isinstance(right_on, str) else list(right_on)
+    if len(lkeys) != len(rkeys):
+        raise ValueError("left_on and right_on must have the same length")
+    if how not in ("left", "inner"):
+        raise ValueError(f"unknown how: {how}")
+    internals = {_TS, _SIDE, _VAL, _M} | ({_BKT} if bucketed else set())
+    clash = set(left.columns) & internals
+    if clash:
+        raise ValueError(f"left columns collide with internals: {sorted(clash)}")
+    out_clash = set(left.columns) & {f"{prefix}{c}" for c in value_cols}
+    if out_clash:
+        raise ValueError(
+            f"left columns collide with matched output names: {sorted(out_clash)}"
+            " — pass a different prefix"
+        )
+    return lkeys, rkeys
+
+
+def _right_side(right, rkeys, lkeys, right_ts, value_cols):
+    """Right rows as timeline rows; NULL-ts rows can match nothing and
+    are dropped here (they would otherwise sort as -infinity)."""
+    return right.filter(F.col(right_ts).isNotNull()).select(
+        *[F.col(rk).alias(lk) for rk, lk in zip(rkeys, lkeys)],
+        F.col(right_ts).alias(_TS),
+        F.lit(0).alias(_SIDE),
+        F.struct(*[F.col(c) for c in value_cols]).alias(_VAL),
+    )
+
+
+def _unpack(stamped, left, value_cols, prefix, how):
+    out = stamped.filter(F.col(_SIDE) == 1)
+    if how == "inner":
+        out = out.filter(F.col(_M).isNotNull())
+    return out.select(
+        *left.columns,
+        *[F.col(f"{_M}.{c}").alias(f"{prefix}{c}") for c in value_cols],
+    )
 
 
 def asof_join(
@@ -68,28 +115,13 @@ def asof_join(
     keeps them with NULL values.  Matched columns come back as
     ``{prefix}{col}``.
     """
-    lkeys = [left_on] if isinstance(left_on, str) else list(left_on)
-    rkeys = [right_on] if isinstance(right_on, str) else list(right_on)
-    if len(lkeys) != len(rkeys):
-        raise ValueError("left_on and right_on must have the same length")
     if direction not in ("backward", "forward"):
         raise ValueError(f"unknown direction: {direction}")
-    clash = set(left.columns) & {_TS, _SIDE, _VAL, _M}
-    if clash:
-        raise ValueError(f"left columns collide with internals: {sorted(clash)}")
-    out_clash = set(left.columns) & {f"{prefix}{c}" for c in value_cols}
-    if out_clash:
-        raise ValueError(
-            f"left columns collide with matched output names: {sorted(out_clash)}"
-            " — pass a different prefix"
-        )
-
-    r = right.select(
-        *[F.col(rk).alias(lk) for rk, lk in zip(rkeys, lkeys)],
-        F.col(right_ts).alias(_TS),
-        F.lit(0).alias(_SIDE),
-        F.struct(*[F.col(c) for c in value_cols]).alias(_VAL),
+    lkeys, rkeys = _normalize_keys(
+        left, left_on, right_on, value_cols, prefix, how, bucketed=False
     )
+
+    r = _right_side(right, rkeys, lkeys, right_ts, value_cols)
     l = left.withColumn(_TS, F.col(left_ts)).withColumn(_SIDE, F.lit(1))
     timeline = l.unionByName(r, allowMissingColumns=True)
 
@@ -103,19 +135,7 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     stamped = timeline.withColumn(_M, F.last(_VAL, ignorenulls=True).over(w))
-
-    out = stamped.filter(F.col(_SIDE) == 1)
-    if how == "inner":
-        out = out.filter(F.col(_M).isNotNull())
-    elif how != "left":
-        raise ValueError(f"unknown how: {how}")
-    return out.select(
-        *left.columns,
-        *[F.col(f"{_M}.{c}").alias(f"{prefix}{c}") for c in value_cols],
-    )
-
-
-_BKT = "_asof_bucket"
+    return _unpack(stamped, left, value_cols, prefix, how)
 
 
 def asof_join_bucketed(
@@ -155,33 +175,17 @@ def asof_join_bucketed(
     Costs one extra tiny aggregate + spine window over the plain variant;
     for non-skewed keys prefer :func:`asof_join`.
     """
-    lkeys = [left_on] if isinstance(left_on, str) else list(left_on)
-    rkeys = [right_on] if isinstance(right_on, str) else list(right_on)
-    if len(lkeys) != len(rkeys):
-        raise ValueError("left_on and right_on must have the same length")
     if bucket_width <= 0:
         raise ValueError("bucket_width must be positive")
-    if how not in ("left", "inner"):
-        raise ValueError(f"unknown how: {how}")
-    clash = set(left.columns) & {_TS, _SIDE, _VAL, _M, _BKT}
-    if clash:
-        raise ValueError(f"left columns collide with internals: {sorted(clash)}")
-    out_clash = set(left.columns) & {f"{prefix}{c}" for c in value_cols}
-    if out_clash:
-        raise ValueError(
-            f"left columns collide with matched output names: {sorted(out_clash)}"
-            " — pass a different prefix"
-        )
+    lkeys, rkeys = _normalize_keys(
+        left, left_on, right_on, value_cols, prefix, how, bucketed=True
+    )
 
     def bucket_of(ts_col: str) -> F.Column:
         return F.floor(F.col(ts_col).cast("double") / F.lit(float(bucket_width))).cast("long")
 
-    r = right.select(
-        *[F.col(rk).alias(lk) for rk, lk in zip(rkeys, lkeys)],
-        F.col(right_ts).alias(_TS),
-        bucket_of(right_ts).alias(_BKT),
-        F.lit(0).alias(_SIDE),
-        F.struct(*[F.col(c) for c in value_cols]).alias(_VAL),
+    r = _right_side(right, rkeys, lkeys, right_ts, value_cols).withColumn(
+        _BKT, bucket_of(_TS)
     )
     l = (
         left.withColumn(_TS, F.col(left_ts))
@@ -233,10 +237,4 @@ def asof_join_bucketed(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     stamped = timeline.withColumn(_M, F.last(_VAL, ignorenulls=True).over(w))
-    out = stamped.filter(F.col(_SIDE) == 1)
-    if how == "inner":
-        out = out.filter(F.col(_M).isNotNull())
-    return out.select(
-        *left.columns,
-        *[F.col(f"{_M}.{c}").alias(f"{prefix}{c}") for c in value_cols],
-    )
+    return _unpack(stamped, left, value_cols, prefix, how)

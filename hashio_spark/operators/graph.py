@@ -19,9 +19,17 @@ diameter is tiny (2-4) and this beats the asymptotically-better
 star-contraction algorithms (Kiveris et al., "Connected Components in
 MapReduce and Beyond") on constants; for adversarially chained graphs
 set ``max_iter`` accordingly or contract first.  Each round's labels are
-persisted and the previous round unpersisted, so executor memory holds
-two label sets regardless of round count; lineage depth grows linearly
-with rounds, bounded by ``max_iter``.
+``localCheckpoint``-ed — this is load-bearing, not an optimization: the
+round's plan references the previous round's plan TWICE (neighbor-min
+join + label-carry join), so without lineage truncation the logical
+plan doubles per round and Catalyst analysis goes exponential (a
+diameter-10 graph hangs the driver).  Checkpointing keeps the plan
+depth constant; superseded checkpoint RDDs are released by Spark's
+ContextCleaner once unreferenced.  ``localCheckpoint`` stores blocks on
+executors, so an executor loss mid-computation fails the job (rerun)
+rather than recomputing — the usual trade for iterative algorithms; use
+a reliable ``spark.sparkContext.setCheckpointDir`` + ``checkpoint()``
+variant if running on preemptible nodes.
 """
 
 from __future__ import annotations
@@ -44,8 +52,13 @@ def connected_components(
         .distinct()
         .persist()
     )
-    labels = sym.select("n").distinct().select(F.col("n"), F.col("n").alias("label")).persist()
-    labels.count()
+    labels = (
+        sym.select("n")
+        .distinct()
+        .select(F.col("n"), F.col("n").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    changed = 0
     try:
         for _ in range(max_iter):
             cand = (
@@ -54,28 +67,38 @@ def connected_components(
                 .agg(F.min("label").alias("_nbr"))
             )
             # carry the previous label through the update so convergence is
-            # a filter-count on the (persisted) new frame — not an extra
-            # join back against the old labels (one fewer shuffle/round)
-            new_labels = (
+            # a filter-count on the materialized new frame — not an extra
+            # join back against the old labels (one fewer shuffle/round).
+            # localCheckpoint (NOT persist) — see module docstring: it
+            # truncates the self-referencing lineage that otherwise makes
+            # Catalyst analysis exponential in the round count.
+            labels = (
                 labels.join(cand, "n", "left_outer")
                 .select(
                     "n",
                     F.col("label").alias("_old"),
                     F.least(F.col("label"), F.coalesce(F.col("_nbr"), F.col("label"))).alias("label"),
                 )
-                .persist()
+                .localCheckpoint(eager=True)
             )
-            changed = new_labels.filter(F.col("label") != F.col("_old")).count()
-            labels.unpersist()
-            # keep the PERSISTED frame itself (unpersist on a .drop()
-            # projection would not release the cache); the stray _old
-            # column is projected away by the next round / final select
-            labels = new_labels
+            changed = labels.filter(F.col("label") != F.col("_old")).count()
             if changed == 0:
                 break
+        if changed != 0:
+            # silently returning mid-propagation labels would hand the
+            # caller WRONG clusters (a node's component might itself not
+            # be a representative) — near-dup graphs converge in rounds ≈
+            # diameter (2-4), so hitting the cap means the input is not
+            # the graph this was tuned for
+            raise RuntimeError(
+                f"connected_components did not converge in max_iter={max_iter} "
+                f"rounds ({changed} labels still changing); the graph's diameter "
+                "exceeds the cap — raise max_iter or contract the graph first"
+            )
         out = labels.select(F.col("n").alias("node"), F.col("label").alias("component"))
-        # the final round's labels stay persisted (they back the returned
-        # plan); hand the caller the release handle (caching.release)
+        # the final checkpoint backs the returned plan; expose it through
+        # the release handle for API symmetry (release() then lets the
+        # ContextCleaner reclaim the checkpoint once callers drop `out`)
         from hashio_spark.caching import track
 
         return track(out, labels)

@@ -56,24 +56,48 @@ def pack_sequences(
         raise ValueError(f"input columns collide with packing outputs: {sorted(clash)}")
     shard = shard_expr if shard_expr is not None else F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards))
     d = docs.withColumn("shard", shard.cast("long"))
-    w = Window.partitionBy("shard").orderBy(id_col)
+    # secondary sort on the token count: duplicate ids within a shard
+    # would otherwise order by partition layout, making cum_before/seq_id
+    # retry-dependent; with (id, tokens) ordering the output MULTISET is
+    # deterministic even for fully duplicated rows (which are then
+    # interchangeable)
+    order = [F.col(id_col).asc(), F.col(tokens_col).asc()]
+    w = Window.partitionBy("shard").orderBy(*order)
     cum_before = F.coalesce(
         F.sum(tokens_col).over(w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
     ).cast("long")
     d = d.withColumn("cum_before", cum_before).withColumn(
         "seq_id", F.floor(F.col("cum_before") / F.lit(budget))
     )
-    pos = F.row_number().over(Window.partitionBy("shard", "seq_id").orderBy(id_col))
+    pos = F.row_number().over(Window.partitionBy("shard", "seq_id").orderBy(*order))
     return d.withColumn("pos", pos)
 
 
-def sequence_manifest(packed: DataFrame, tokens_col: str) -> DataFrame:
+def sequence_manifest(
+    packed: DataFrame, tokens_col: str, budget: int | None = None
+) -> DataFrame:
     """Per-sequence summary of a :func:`pack_sequences` result:
-    ``(shard, seq_id, n_docs, total_tokens, first_doc_cum, last_doc_cum)``
-    — the loader-side index of which documents build which sequence."""
-    return packed.groupBy("shard", "seq_id").agg(
+    ``(shard, seq_id, n_docs, total_tokens, first_doc_cum, last_doc_cum,
+    end_cum[, covers_to_seq])`` — the loader-side index of which
+    documents build which sequence.
+
+    ``seq_id`` is the bin a document STARTS in, so a document longer than
+    the budget spans bins that have no manifest row of their own; such a
+    bin is covered by the closest earlier row.  ``end_cum`` (the
+    exclusive token end of the group's docs) makes that derivable, and
+    passing ``budget`` adds it precomputed as ``covers_to_seq`` — the
+    last bin this row's documents reach into (for rows that don't
+    straddle, ``covers_to_seq == seq_id``)."""
+    aggs = [
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(tokens_col).cast("long").alias("total_tokens"),
         F.min("cum_before").alias("first_doc_cum"),
         F.max("cum_before").alias("last_doc_cum"),
-    )
+        F.max(F.col("cum_before") + F.col(tokens_col)).cast("long").alias("end_cum"),
+    ]
+    out = packed.groupBy("shard", "seq_id").agg(*aggs)
+    if budget is not None:
+        out = out.withColumn(
+            "covers_to_seq", F.floor((F.col("end_cum") - 1) / F.lit(budget))
+        )
+    return out

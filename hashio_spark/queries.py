@@ -1913,7 +1913,8 @@ SELECT cast(shard AS bigint) AS shard,
   count(*) AS n_docs,
   cast(sum(n_tokens) AS bigint) AS total_tokens,
   min(cum_before) AS first_doc_cum,
-  max(cum_before) AS last_doc_cum
+  max(cum_before) AS last_doc_cum,
+  cast(max(cum_before + n_tokens) AS bigint) AS end_cum
 FROM c GROUP BY 1, 2
 """
 
@@ -2049,7 +2050,8 @@ SELECT cast(shard AS bigint) AS shard,
   count(*) AS n_docs,
   cast(sum(n_tokens) AS bigint) AS total_tokens,
   min(cum_before) AS first_doc_cum,
-  max(cum_before) AS last_doc_cum
+  max(cum_before) AS last_doc_cum,
+  cast(max(cum_before + n_tokens) AS bigint) AS end_cum
 FROM c GROUP BY 1, 2
 """
 

@@ -295,3 +295,63 @@ def test_asof_bucketed_inner_and_validation(spark, quotes, trades):
     assert got == {"t2": 3.0, "t3": 3.0, "t4": 4.0}
     with pytest.raises(ValueError, match="positive"):
         asof_join_bucketed(trades, quotes, "sym", "sym", "tts", "qts", ["px"], bucket_width=0)
+
+
+def test_asof_null_timestamps_never_match(spark):
+    """SQL semantics: NULL <= ts is never true — a right row with NULL ts
+    must not be matched (it would otherwise sort as -infinity), and a
+    NULL-ts left row gets no match (dropped under how='inner')."""
+    from hashio_spark.operators.asof import asof_join, asof_join_bucketed
+
+    left = spark.createDataFrame(
+        [(1, 0, 5), (2, 0, None)], "lid long, k long, lt long"
+    )
+    right = spark.createDataFrame(
+        [(9, 0, None), (7, 0, 3)], "rid long, k long, rt long"
+    )
+    for out in (
+        asof_join(left, right, "k", "k", "lt", "rt", ["rid"]),
+        asof_join_bucketed(left, right, "k", "k", "lt", "rt", ["rid"], bucket_width=2),
+    ):
+        got = {r["lid"]: r["asof_rid"] for r in out.collect()}
+        assert got == {1: 7, 2: None}
+    inner = asof_join(left, right, "k", "k", "lt", "rt", ["rid"], how="inner")
+    assert {r["lid"] for r in inner.collect()} == {1}
+
+
+def test_connected_components_raises_on_nonconvergence(spark):
+    """A path graph of diameter > max_iter must fail loudly, not return
+    mid-propagation labels as if they were clusters."""
+    from hashio_spark.operators.graph import connected_components
+
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "src long, dst long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(path, max_iter=3).collect()
+    # and with enough rounds the same graph is one component
+    cc = connected_components(path, max_iter=25)
+    assert {r["component"] for r in cc.collect()} == {0}
+    from hashio_spark.caching import release
+
+    release(cc)
+
+
+def test_sequence_manifest_covers_straddling_docs(spark):
+    """A doc longer than the budget spans bins with no row of their own;
+    end_cum/covers_to_seq let a loader find the covering row."""
+    from hashio_spark.operators.packing import pack_sequences, sequence_manifest
+
+    docs = spark.createDataFrame(
+        [(0, 50), (1, 10)], "doc_id long, n_tokens long"
+    )
+    packed = pack_sequences(
+        docs, "doc_id", "n_tokens", budget=16, n_shards=1,
+        shard_expr=F.lit(0),
+    )
+    man = {r["seq_id"]: r for r in sequence_manifest(packed, "n_tokens", budget=16).collect()}
+    assert set(man) == {0, 3}          # doc 0 starts bin 0, doc 1 starts bin 3
+    assert man[0]["end_cum"] == 50
+    assert man[0]["covers_to_seq"] == 3   # doc 0 reaches into bin 3
+    assert man[3]["end_cum"] == 60
+    assert man[3]["covers_to_seq"] == 3
