@@ -2057,3 +2057,74 @@ FROM c GROUP BY 1, 2
 
 
 REGISTRY["corpus_clean_pipeline"] = (corpus_clean_pipeline, CORPUS_CLEAN_SQL)
+
+
+def events_in_signup_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join under the oracle: every click inside the 24-hour
+    attribution window [signup_ts, signup_ts + 24h) of a same-user
+    signup.  The Spark side is the bucketed interval join
+    (operators/ranges.py — interval rows replicated across 6-hour
+    buckets, ONE equi-shuffle on (user, bucket), containment as a
+    residual filter); the oracle is the plain inequality join, which
+    Spark itself would only plan as a BroadcastNestedLoopJoin."""
+    from hashio_spark.operators.ranges import interval_join
+
+    e = _t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    signups = e.filter(F.col("event_type") == "signup").select(
+        "user_id",
+        F.col("event_id").alias("signup_id"),
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 24 HOURS")).alias("w_end"),
+    )
+    out = interval_join(
+        clicks, signups, "ts", "w_start", "w_end", ["signup_id"],
+        left_on="user_id", right_on="user_id",
+        bucket_width=6 * 3600.0, prefix="m_",
+    )
+    return out.select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.unix_timestamp("ts").alias("click_epoch"),
+        F.col("m_signup_id").alias("signup_id"),
+    )
+
+
+EVENTS_IN_WINDOW_SQL = """
+SELECT c.event_id AS click_id, c.user_id,
+  cast(floor(epoch(c.ts)) AS bigint) AS click_epoch,
+  s.event_id AS signup_id
+FROM events c JOIN events s
+  ON s.user_id = c.user_id AND s.event_type = 'signup'
+ AND c.ts >= s.ts AND c.ts < s.ts + INTERVAL 24 HOURS
+WHERE c.event_type = 'click'
+"""
+
+
+REGISTRY["events_in_signup_window"] = (events_in_signup_window, EVENTS_IN_WINDOW_SQL)
+
+
+def key_profile_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew profile under the oracle: the 10 hottest user_ids in events
+    with row count, corpus share, and times-average multiplier
+    (operators/skew.py — the profile every salting decision starts
+    from).  Map-side partial aggregation makes the profile itself
+    immune to the skew it measures; top-N is TakeOrderedAndProject."""
+    from hashio_spark.operators.skew import key_profile
+
+    return key_profile(_t(spark, sf_dir, "events"), "user_id", top_n=10)
+
+
+KEY_PROFILE_SQL = """
+WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
+t AS (SELECT sum(n) AS total, count(*) AS n_keys FROM c)
+SELECT user_id, n,
+  round(n / (total * 1.0), 6) AS share,
+  round(n * n_keys / (total * 1.0), 6) AS hot_x
+FROM c, t
+ORDER BY n DESC, user_id
+LIMIT 10
+"""
+
+
+REGISTRY["key_profile_users"] = (key_profile_users, KEY_PROFILE_SQL)
