@@ -71,6 +71,8 @@ BENCH_QUERIES = [
     "sample_cap_per_group",
     "numeric_quantiles",
     "events_asof_purchase",
+    "events_in_signup_window",
+    "key_profile_users",
     "pack_sequences",
     "corpus_clean_pipeline",
     "media_features",

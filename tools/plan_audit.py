@@ -267,6 +267,28 @@ def main() -> None:
     finally:
         spark.sql("DROP TABLE IF EXISTS t_audit_bucketed")
 
+    # 13. bucketed interval join: the point-in-window join is an
+    # EQUI-join on (user, bucket) — never the nested-loop/cartesian plan
+    # Catalyst produces for a raw inequality join
+    q = REGISTRY["events_in_signup_window"][0](spark, SF)
+    p = plan_of(q)
+    notes = check(
+        "events_in_signup_window", p,
+        must=[r"Join|ShuffledHashJoin|SortMergeJoin|BroadcastHashJoin"],
+        must_not=[r"BroadcastNestedLoopJoin", r"CartesianProduct", r"BatchEvalPython"],
+    )
+    sections.append(("events_in_signup_window (bucketed interval join, equi-shuffle)", p, notes))
+
+    # 14. key-skew profile: top-N is per-partition heaps, not a global sort
+    q = REGISTRY["key_profile_users"][0](spark, SF)
+    p = plan_of(q)
+    notes = check(
+        "key_profile_users", p,
+        must=[r"TakeOrderedAndProject", r"HashAggregate"],
+        must_not=[r"Exchange rangepartitioning", r"SortAggregate"],
+    )
+    sections.append(("key_profile_users (skew profile, TakeOrderedAndProject)", p, notes))
+
     with open("PLANS.md", "w") as f:
         f.write("# PLANS — physical-plan audit (auto-generated by tools/plan_audit.py)\n\n")
         f.write("Checked properties per plan; full `.explain('formatted')` output below.\n\n")
