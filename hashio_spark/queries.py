@@ -2128,3 +2128,126 @@ LIMIT 10
 
 
 REGISTRY["key_profile_users"] = (key_profile_users, KEY_PROFILE_SQL)
+
+
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential PII scrubbing under the oracle: documents are salted
+    with deterministic synthetic PII (email, IPv4, SSN-shaped, phone)
+    derived from doc_id, then pushed through the ordered redaction
+    chain (operators/redact.py).  Counts are per-pattern hits on the
+    text state entering that stage — both engines replay the exact
+    same regexes in the exact same order (java.regex/RE2-portable
+    subset), so replacements AND counts hash-match."""
+    from hashio_spark.operators.redact import redact
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 80),
+            F.lit(" contact user"), did, F.lit("@mail.example.com"),
+            F.lit(" host 10."), (F.col("doc_id") % 200).cast("string"),
+            F.lit(".0."), (F.col("doc_id") % 250).cast("string"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(F.lit(" ssn 123-45-"),
+                         F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")),
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 5 == 0, F.lit(" call +1 555-0199 ")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    out = redact(aug, "text")
+    return out.select(
+        "doc_id", F.col("text_redacted").alias("redacted"),
+        "n_email", "n_ipv4", "n_ssn", "n_phone",
+    )
+
+
+PII_REDACT_SQL = r"""
+WITH aug AS (
+  SELECT doc_id,
+    substr(text, 1, 80)
+      || ' contact user' || doc_id || '@mail.example.com'
+      || ' host 10.' || (doc_id % 200) || '.0.' || (doc_id % 250)
+      || CASE WHEN doc_id % 3 = 0
+              THEN ' ssn 123-45-' || lpad(cast(doc_id % 10000 AS varchar), 4, '0')
+              ELSE '' END
+      || CASE WHEN doc_id % 5 = 0 THEN ' call +1 555-0199 ' ELSE '' END AS t
+  FROM documents
+), s1 AS (
+  SELECT doc_id,
+    len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+    regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t
+  FROM aug
+), s2 AS (
+  SELECT doc_id, n_email,
+    len(regexp_extract_all(t, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS n_ipv4,
+    regexp_replace(t, '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g') AS t
+  FROM s1
+), s3 AS (
+  SELECT doc_id, n_email, n_ipv4,
+    len(regexp_extract_all(t, '\b\d{3}-\d{2}-\d{4}\b')) AS n_ssn,
+    regexp_replace(t, '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g') AS t
+  FROM s2
+), s4 AS (
+  SELECT doc_id, n_email, n_ipv4, n_ssn,
+    len(regexp_extract_all(t, '\+?\d[\d\- ]{7,}\d')) AS n_phone,
+    regexp_replace(t, '\+?\d[\d\- ]{7,}\d', '<PHONE>', 'g') AS t
+  FROM s3
+)
+SELECT doc_id, t AS redacted, n_email, n_ipv4, n_ssn, n_phone FROM s4
+"""
+
+
+REGISTRY["pii_redact"] = (pii_redact, PII_REDACT_SQL)
+
+
+def domain_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain profile under the oracle: documents are salted with
+    deterministic synthetic URLs (including an upper-case host to prove
+    the lowercase fold), then profiled per host
+    (operators/web.py — one regexp_extract_all, explode, hash-agg,
+    TakeOrderedAndProject top-15)."""
+    from hashio_spark.operators.web import domain_profile
+
+    d = _t(spark, sf_dir, "documents")
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("see https://cdn"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.org/a "),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(F.lit("and http://site"), (F.col("doc_id") % 13).cast("string"),
+                         F.lit(".example.net/x")),
+            ).otherwise(F.lit("")),
+            F.lit(" plus https://CDN"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.org/b"),
+        ).alias("text"),
+    )
+    return domain_profile(aug, "text", "doc_id", top_n=15)
+
+
+DOMAIN_COUNTS_SQL = """
+WITH aug AS (
+  SELECT doc_id,
+    'see https://cdn' || (doc_id % 7) || '.example.org/a '
+      || CASE WHEN doc_id % 2 = 0
+              THEN 'and http://site' || (doc_id % 13) || '.example.net/x'
+              ELSE '' END
+      || ' plus https://CDN' || (doc_id % 7) || '.example.org/b' AS t
+  FROM documents
+), pairs AS (
+  SELECT doc_id,
+    lower(unnest(regexp_extract_all(t, 'https?://([A-Za-z0-9.-]+)', 1))) AS domain
+  FROM aug
+)
+SELECT domain, count(*) AS n_hits, count(DISTINCT doc_id) AS n_docs
+FROM pairs GROUP BY 1
+ORDER BY n_hits DESC, domain
+LIMIT 15
+"""
+
+
+REGISTRY["domain_counts"] = (domain_counts, DOMAIN_COUNTS_SQL)
