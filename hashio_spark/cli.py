@@ -193,6 +193,24 @@ def cmd_distinct(args) -> int:
     return 0
 
 
+def cmd_outliers(args) -> int:
+    """Partitions of a stored run whose row_count deviates ≥ threshold
+    standard deviations from the run's other partitions — scored from
+    manifest rows alone (operators/anomaly.py), no corpus rescan."""
+    from hashio_spark.operators.anomaly import manifest_count_outliers
+    from hashio_spark.sources.manifest_store import ManifestStore
+
+    spark = _spark(args)
+    store = ManifestStore(spark, args.manifest)
+    rows = manifest_count_outliers(
+        store, args.run_id, z_threshold=args.z_threshold, algo=args.algo
+    ).collect()
+    for r in rows:
+        print(f"! partition={r['partition_id']} rows={r['n']} z={r['z']:+.4f}")
+    print(json.dumps({"run_id": args.run_id, "outlier_partitions": len(rows)}))
+    return 0
+
+
 def cmd_pack(args) -> int:
     """Pack documents into fixed token-budget training sequences and
     write the per-doc coordinates (+ optionally the per-sequence
@@ -326,6 +344,13 @@ def main(argv: list[str] | None = None) -> int:
     dct.add_argument("--manifest", required=True)
     dct.add_argument("--run-id", action="append", help="restrict to these runs (repeatable); default all")
     dct.set_defaults(fn=cmd_distinct)
+
+    ol = sub.add_parser("outliers", help="partitions whose stored row_count deviates from the run's peers (manifest-only)")
+    ol.add_argument("--manifest", required=True)
+    ol.add_argument("--run-id", required=True)
+    ol.add_argument("--z-threshold", type=float, default=3.0)
+    ol.add_argument("--algo", help="score one algo's rows (default: dedupe per partition)")
+    ol.set_defaults(fn=cmd_outliers)
 
     mg = sub.add_parser("migrate", help="re-layout a legacy unpartitioned manifest store (--update-cache analog)")
     mg.add_argument("--manifest", required=True)

@@ -2251,3 +2251,34 @@ LIMIT 15
 
 
 REGISTRY["domain_counts"] = (domain_counts, DOMAIN_COUNTS_SQL)
+
+
+def count_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-size anomaly scores under the oracle: every (source, lang)
+    group of documents with its row count and z-score vs the population
+    (operators/anomaly.py).  Variance comes from exact integer sums
+    (sum(n), sum(n^2) are longs), so both engines compute bit-identical
+    doubles regardless of partial-merge order — the reason this is
+    hash-checkable at all."""
+    from hashio_spark.operators.anomaly import count_zscores
+
+    d = _t(spark, sf_dir, "documents")
+    return count_zscores(d, ["source", "lang"]).orderBy("source", "lang")
+
+
+COUNT_ANOMALIES_SQL = """
+WITH c AS (SELECT source, lang, count(*) AS n FROM documents GROUP BY 1, 2),
+s AS (SELECT sum(n) AS s1, sum(n*n) AS s2, count(*) AS g FROM c),
+j AS (
+  SELECT c.source, c.lang, c.n,
+    s.s1 / s.g AS mu,
+    sqrt(greatest(s.s2 / s.g - (s.s1 / s.g) * (s.s1 / s.g), 0.0)) AS sigma
+  FROM c, s
+)
+SELECT source, lang, n,
+  round(CASE WHEN sigma > 0 THEN (n - mu) / sigma ELSE 0.0 END, 4) AS z
+FROM j ORDER BY source, lang
+"""
+
+
+REGISTRY["count_anomalies"] = (count_anomalies, COUNT_ANOMALIES_SQL)
