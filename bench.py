@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     "dedupe_minhash_lsh",
     "dedupe_clusters",
     "ngram_jaccard",
+    "jaccard_pairs_exact",
     "doc_fingerprint",
     "drift_psi_by_group",
     "verify_manifest",

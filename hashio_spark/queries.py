@@ -2282,3 +2282,59 @@ FROM j ORDER BY source, lang
 
 
 REGISTRY["count_anomalies"] = (count_anomalies, COUNT_ANOMALIES_SQL)
+
+
+def jaccard_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity self-join under the oracle: every document
+    pair whose 3-word-shingle Jaccard is >= 0.8, found via prefix
+    filtering (operators/setsim.py) — no LSH recall loss, no all-pairs.
+    Both engines order tokens by (document frequency, token) and take
+    n - ceil(tau*n) + 1 prefixes; the candidate join runs on prefix
+    tokens only."""
+    from hashio_spark.functions.text import word_shingles_from_tokens
+    from hashio_spark.operators.setsim import jaccard_join
+
+    d = _t(spark, sf_dir, "documents")
+    # tokenization staged to its own projection: an inline split inside
+    # the shingle lambda re-executes per array element (BENCH finding #7)
+    toked = d.select("doc_id", F.split("text", r"\s+").alias("_toks"))
+    sets_df = toked.select("doc_id", word_shingles_from_tokens("_toks", 3).alias("sh"))
+    return jaccard_join(sets_df, "doc_id", "sh", threshold=0.8).withColumnsRenamed(
+        {"id_a": "doc_a", "id_b": "doc_b"}
+    )
+
+
+JACCARD_PAIRS_EXACT_SQL = """
+WITH s AS (
+  SELECT doc_id,
+    list_distinct(
+      list_transform(generate_series(1, greatest(len(string_split(text,' ')) - 2, 0)),
+                     i -> array_to_string((string_split(text,' '))[i:i+2], ' '))) AS sh
+  FROM documents
+), nz AS (
+  SELECT doc_id, sh, len(sh) AS n FROM s WHERE len(sh) > 0
+), toks AS (
+  SELECT doc_id, unnest(sh) AS tok FROM nz
+), dfreq AS (
+  SELECT tok, count(*) AS dfq FROM toks GROUP BY 1
+), ordered AS (
+  SELECT t.doc_id, t.tok,
+    row_number() OVER (PARTITION BY t.doc_id ORDER BY d.dfq, t.tok) AS pos,
+    z.n
+  FROM toks t JOIN dfreq d USING (tok) JOIN nz z USING (doc_id)
+), prefix AS (
+  SELECT doc_id, tok FROM ordered WHERE pos <= n - ceil(0.8 * n) + 1
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM prefix a JOIN prefix b ON a.tok = b.tok AND a.doc_id < b.doc_id
+), j AS (
+  SELECT doc_a, doc_b,
+    cast(len(list_intersect(sa.sh, sb.sh)) AS double)
+      / cast(sa.n + sb.n - len(list_intersect(sa.sh, sb.sh)) AS double) AS jac
+  FROM cand JOIN nz sa ON cand.doc_a = sa.doc_id JOIN nz sb ON cand.doc_b = sb.doc_id
+)
+SELECT doc_a, doc_b, round(jac, 6) AS jaccard FROM j WHERE jac >= 0.8
+"""
+
+
+REGISTRY["jaccard_pairs_exact"] = (jaccard_pairs_exact, JACCARD_PAIRS_EXACT_SQL)
