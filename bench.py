@@ -66,6 +66,9 @@ BENCH_QUERIES = [
     "embedding_neardup",
     "embedding_neardup_scaled",
     "simhash_md5",
+    "pii_redact",
+    "domain_counts",
+    "count_anomalies",
     "contamination_check",
     "repetition_stats",
     "sample_stratified",

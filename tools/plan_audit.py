@@ -289,6 +289,50 @@ def main() -> None:
     )
     sections.append(("key_profile_users (skew profile, TakeOrderedAndProject)", p, notes))
 
+    # 15. PII redaction: one codegen projection — no shuffle, no python
+    q = REGISTRY["pii_redact"][0](spark, SF)
+    p = plan_of(q)
+    notes = check(
+        "pii_redact", p,
+        must=[r"Project", r"Scan parquet"],
+        must_not=[r"BatchEvalPython", r"Exchange", r"SortAggregate"],
+    )
+    sections.append(("pii_redact (chained regex redaction, shuffle-free)", p, notes))
+
+    # 16. domain profile: algebraic agg + heap top-N, no global sort
+    q = REGISTRY["domain_counts"][0](spark, SF)
+    p = plan_of(q)
+    notes = check(
+        "domain_counts", p,
+        must=[r"TakeOrderedAndProject", r"HashAggregate"],
+        must_not=[r"BatchEvalPython", r"Exchange rangepartitioning"],
+    )
+    sections.append(("domain_counts (domain profile, TakeOrderedAndProject)", p, notes))
+
+    # 17. count anomalies: two hash aggs + broadcast of one scalar row
+    q = REGISTRY["count_anomalies"][0](spark, SF)
+    p = plan_of(q)
+    notes = check(
+        "count_anomalies", p,
+        must=[r"HashAggregate", r"BroadcastNestedLoopJoin|BroadcastExchange"],
+        must_not=[r"BatchEvalPython", r"SortAggregate"],
+    )
+    sections.append(("count_anomalies (z-scores, broadcast scalar stats)", p, notes))
+
+    # 18. exact jaccard join: candidate equi-join on hashed prefix
+    # tokens — never a cartesian/nested-loop all-pairs
+    q = REGISTRY["jaccard_pairs_exact"][0](spark, SF)
+    p = plan_of(q)
+    notes = check(
+        "jaccard_pairs_exact", p,
+        must=[r"xxhash64", r"HashAggregate"],
+        must_not=[r"BatchEvalPython", r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+    )
+    sections.append(("jaccard_pairs_exact (prefix-filtered exact set-similarity)", p, notes))
+    from hashio_spark.caching import release
+
+    release(q)
+
     with open("PLANS.md", "w") as f:
         f.write("# PLANS — physical-plan audit (auto-generated by tools/plan_audit.py)\n\n")
         f.write("Checked properties per plan; full `.explain('formatted')` output below.\n\n")
