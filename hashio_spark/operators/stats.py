@@ -57,3 +57,58 @@ def minmax_aggs(columns: list[str]) -> list[Column]:
 def column_stats(df: DataFrame, columns: list[str], group_col: str = "partition_id") -> DataFrame:
     """Per-group stats DataFrame, one row per group."""
     return df.groupBy(group_col).agg(*stat_aggs(columns))
+
+
+def exact_group_corr(
+    df: DataFrame,
+    x: str,
+    y: str,
+    group_col: str,
+    scale: int = 100,
+) -> DataFrame:
+    """Per-group Pearson correlation with ENGINE-REPRODUCIBLE doubles.
+
+    ``F.corr`` (and any streaming-moments formulation) sums doubles, and
+    double addition is non-associative — the result depends on partition
+    boundaries and merge order, so two runs (or two engines) disagree in
+    the low bits.  Here both inputs are scaled to exact integers
+    (``round(v*scale)``), the five power sums accumulate in
+    ``decimal(38,0)`` (associative, overflow-checked, exact under any
+    partitioning), and only the final closed-form expression runs in
+    floating point — identical exact operands + identical IEEE-754
+    operation tree = bit-identical output everywhere.
+
+    Scale: one hash-aggregate with map-side partials; network is
+    O(groups), independent of row count.  Output:
+    (group_col, n, corr) with corr rounded to 6 decimals.
+    """
+    # per-row products stay in bigint (caller contract: |x*scale·y*scale|
+    # < 2^63 per ROW — true for currency-like columns); only the SUMS,
+    # which genuinely exceed int64 at scale, are lifted to decimal(38,0).
+    # decimal×decimal would hit Spark's 38-precision cap instead.
+    xi = F.round(F.col(x) * scale).cast("long")
+    yi = F.round(F.col(y) * scale).cast("long")
+
+    def _dsum(col):
+        return F.sum(col.cast("decimal(38,0)"))
+
+    sums = (
+        df.select(F.col(group_col), xi.alias("_x"), yi.alias("_y"))
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _dsum(F.col("_x")).alias("_sx"),
+            _dsum(F.col("_y")).alias("_sy"),
+            _dsum(F.col("_x") * F.col("_y")).alias("_sxy"),
+            _dsum(F.col("_x") * F.col("_x")).alias("_sx2"),
+            _dsum(F.col("_y") * F.col("_y")).alias("_sy2"),
+        )
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("_sx").cast("double")
+    sy = F.col("_sy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    sx2 = F.col("_sx2").cast("double")
+    sy2 = F.col("_sy2").cast("double")
+    corr = (n * sxy - sx * sy) / F.sqrt((n * sx2 - sx * sx) * (n * sy2 - sy * sy))
+    return sums.select(group_col, "n", F.round(corr, 6).alias("corr"))

@@ -1,0 +1,75 @@
+"""Term statistics over a document corpus: TF-IDF and top-terms.
+
+Generalizes the reference's per-file metadata projection
+(``/root/reference/lib/hashio/utils.py:107-126``) to per-document term
+weights — the standard corpus-quality signal an LLM-data pipeline wants
+next to token counts and language ID.
+
+Scale shape (designed for 10^12 docs):
+* one explode + hash-aggregate on (doc_id, term) for term frequencies —
+  map-side partial counts absorb within-document repetition before the
+  shuffle;
+* document frequency is a second hash-aggregate over the (doc, term)
+  table (vocab-sized output, NOT corpus-sized);
+* the corpus row count rides in via a broadcast 1-row cross join;
+* the tf×df join keys on term — vocab vs corpus-term-pairs; AQE
+  broadcasts the vocab side when it fits, otherwise both sides shuffle
+  on term (no skew: stopword-heavy terms fan out across doc partitions
+  only in the pair table, never in a collected list);
+* top-k per doc is a window PARTITIONED by doc_id (per-partition heaps,
+  no global sort).
+
+All arithmetic stays JVM-side; ranking uses the 6-decimal-rounded
+weight (plus term as tiebreak) so the order is reproducible across
+engines despite last-ulp ``ln`` differences.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def term_frequencies(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, term, tf) — whitespace tokens, empty tokens dropped."""
+    toks = docs.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), r"\s+")).alias("term")
+    ).filter(F.col("term") != "")
+    return toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 3,
+) -> DataFrame:
+    """Top-k terms per document by tf·ln(N/df), deterministically ranked.
+
+    Output: (id, term, rank, tfidf) with ``tfidf`` rounded to 6 decimals
+    — the SAME rounded value drives the rank so ties resolve identically
+    in any engine (term ascending breaks exact ties).
+    """
+    tf = term_frequencies(docs, id_col, text_col)
+    df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.select(F.count(F.lit(1)).alias("_n"))
+    weighted = (
+        tf.join(df_tbl, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("_n").cast("double") / F.col("df").cast("double")),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        weighted.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(id_col, "term", F.col("rank").cast("long").alias("rank"), "tfidf")
+    )

@@ -2338,3 +2338,169 @@ SELECT doc_a, doc_b, round(jac, 6) AS jaccard FROM j WHERE jac >= 0.8
 
 
 REGISTRY["jaccard_pairs_exact"] = (jaccard_pairs_exact, JACCARD_PAIRS_EXACT_SQL)
+
+
+def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (operators/terms.py) — the
+    corpus-quality signal next to token counts / lang-id.  Ranking uses
+    the 6-decimal-ROUNDED weight plus term-asc tiebreak so the order
+    reproduces across engines despite last-ulp ln() differences."""
+    from hashio_spark.operators.terms import tfidf_top_terms
+
+    d = _t(spark, sf_dir, "documents")
+    return tfidf_top_terms(d, "doc_id", "text", top_k=3)
+
+
+TFIDF_TOP_TERMS_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, tok AS term FROM (
+    SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok FROM documents
+  ) WHERE tok <> ''
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+), dfq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY 1
+), n AS (
+  SELECT count(*) AS n_docs FROM documents
+), w AS (
+  SELECT tf.doc_id, tf.term,
+    round(tf.tf * ln(cast(n.n_docs AS double) / cast(dfq.df AS double)), 6) AS tfidf
+  FROM tf JOIN dfq USING (term) CROSS JOIN n
+), r AS (
+  SELECT doc_id, term, tfidf,
+    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rnk
+  FROM w
+)
+SELECT doc_id, term, cast(rnk AS bigint) AS rank, tfidf FROM r WHERE rnk <= 3
+"""
+
+
+REGISTRY["tfidf_top_terms"] = (tfidf_top_terms_q, TFIDF_TOP_TERMS_SQL)
+
+
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts over the events stream: cohort = ISO week
+    of a user's first event, cell = distinct users from that cohort active
+    in week offset k.  Two hash-aggregations plus one user_id-co-
+    partitioned join (AQE reuses the exchange); week offsets are exact
+    integer day-diffs / 7 — no float time math."""
+    e = _t(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    joined = e.join(firsts, "user_id")
+    cohort = F.date_format(F.date_trunc("week", F.col("first_ts")), "yyyy-MM-dd")
+    offset = (
+        F.datediff(F.date_trunc("week", F.col("ts")), F.date_trunc("week", F.col("first_ts"))) / 7
+    ).cast("long")
+    cells = joined.select(
+        cohort.alias("cohort_week"), offset.alias("week_offset"), "user_id"
+    ).distinct()
+    return cells.groupBy("cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+
+
+RETENTION_COHORTS_SQL = """
+WITH firsts AS (
+  SELECT user_id, min(ts) AS first_ts FROM events GROUP BY 1
+), cells AS (
+  SELECT DISTINCT
+    strftime(date_trunc('week', f.first_ts), '%Y-%m-%d') AS cohort_week,
+    date_diff('day', date_trunc('week', f.first_ts), date_trunc('week', e.ts)) // 7 AS week_offset,
+    e.user_id
+  FROM events e JOIN firsts f USING (user_id)
+)
+SELECT cohort_week, cast(week_offset AS bigint) AS week_offset, count(*) AS n_users
+FROM cells GROUP BY 1, 2
+"""
+
+
+REGISTRY["retention_cohorts"] = (retention_cohorts, RETENTION_COHORTS_SQL)
+
+
+def corr_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-segment Pearson correlation of order price vs customer
+    balance (operators/stats.py exact_group_corr): power sums accumulate
+    as scaled integers in decimal(38,0), so the double result is
+    bit-identical under ANY partitioning — F.corr's float-sum answer
+    drifts with partition boundaries and can never hash-match an oracle."""
+    from hashio_spark.operators.stats import exact_group_corr
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    j = o.join(c, o.o_custkey == c.c_custkey).select(
+        "c_mktsegment", "o_totalprice", "c_acctbal"
+    )
+    return exact_group_corr(j, "o_totalprice", "c_acctbal", "c_mktsegment")
+
+
+CORR_BY_SEGMENT_SQL = """
+WITH j AS (
+  SELECT c.c_mktsegment,
+    cast(round(o.o_totalprice * 100) AS bigint) AS x,
+    cast(round(c.c_acctbal * 100) AS bigint) AS y
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+), s AS (
+  SELECT c_mktsegment, count(*) AS n,
+    sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+    sum(x * x) AS sx2, sum(y * y) AS sy2
+  FROM j GROUP BY 1
+)
+SELECT c_mktsegment, n,
+  round(
+    (cast(n AS double) * cast(sxy AS double) - cast(sx AS double) * cast(sy AS double))
+    / sqrt(
+        (cast(n AS double) * cast(sx2 AS double) - cast(sx AS double) * cast(sx AS double))
+      * (cast(n AS double) * cast(sy2 AS double) - cast(sy AS double) * cast(sy AS double))
+      ),
+    6) AS corr
+FROM s
+"""
+
+
+REGISTRY["corr_by_segment"] = (corr_by_segment, CORR_BY_SEGMENT_SQL)
+
+
+def cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-one selection over duplicate clusters: for each LSH connected
+    component, the representative is the LONGEST member (n_chars desc,
+    doc_id asc tiebreak) — the usual 'keep the richest copy' policy, vs
+    dedupe_clusters' min-id labeling.  The cluster table is tiny relative
+    to the corpus, so it broadcasts into the documents join; rank + agg
+    share one cluster_id shuffle."""
+    from hashio_spark.operators.graph import duplicate_clusters
+
+    pairs = dedupe_minhash_lsh(spark, sf_dir)
+    cl = duplicate_clusters(pairs, "doc_a", "doc_b").select(
+        F.col("key").alias("doc_id"), "cluster_id"
+    )
+    d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    m = d.join(F.broadcast(cl), "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        m.withColumn("rn", F.row_number().over(w))
+        .groupBy("cluster_id")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("doc_id"))).alias("rep_doc_id"),
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+CLUSTER_REPRESENTATIVES_SQL = f"""
+WITH clusters AS (
+{DEDUPE_CLUSTERS_SQL}
+), m AS (
+  SELECT cl.cluster_id, cl.doc_id, d.n_chars,
+    row_number() OVER (PARTITION BY cl.cluster_id ORDER BY d.n_chars DESC, cl.doc_id ASC) AS rn
+  FROM clusters cl JOIN documents d USING (doc_id)
+)
+SELECT cluster_id,
+  max(CASE WHEN rn = 1 THEN doc_id END) AS rep_doc_id,
+  count(*) AS n_members,
+  cast(sum(n_chars) AS bigint) AS total_chars
+FROM m GROUP BY 1
+"""
+
+
+REGISTRY["cluster_representatives"] = (cluster_representatives, CLUSTER_REPRESENTATIVES_SQL)
