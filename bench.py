@@ -74,6 +74,10 @@ BENCH_QUERIES = [
     "sample_stratified",
     "sample_cap_per_group",
     "numeric_quantiles",
+    "tfidf_top_terms",
+    "retention_cohorts",
+    "corr_by_segment",
+    "cluster_representatives",
     "events_asof_purchase",
     "events_in_signup_window",
     "key_profile_users",

@@ -71,6 +71,10 @@ def ks_statistic(
     a = _densify(histogram(actual, col, lo, hi, n_buckets), n_buckets, "a_cnt")
     b = _densify(histogram(baseline, col, lo, hi, n_buckets), n_buckets, "b_cnt")
     j = a.join(b, "bucket")
+    # global (unpartitioned) window — intentional: by this point the input
+    # is POST-aggregation, exactly n_buckets rows regardless of corpus
+    # size, so the single-partition CDF scan is O(n_buckets), not a
+    # scale hazard (source of the benign WindowExec warning in logs)
     w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
     tot = j.agg(F.sum("a_cnt").alias("a_tot"), F.sum("b_cnt").alias("b_tot"))
     j = (

@@ -333,6 +333,52 @@ def main() -> None:
 
     release(q)
 
+    # 19. tf-idf top terms: hash aggs for tf/df, top-k window PARTITIONED
+    # by doc_id (never a single-partition global window), no python
+    q = REGISTRY["tfidf_top_terms"][0](spark, SF)
+    p = plan_of(q)
+    notes = check(
+        "tfidf_top_terms", p,
+        must=[r"HashAggregate", r"BroadcastExchange", r"Window"],
+        must_not=[r"BatchEvalPython", r"Exchange SinglePartition", r"CartesianProduct"],
+    )
+    sections.append(("tfidf_top_terms (tf/df hash aggs, per-doc top-k window)", p, notes))
+
+    # 20. retention cohorts: first-seen agg + join co-partitioned on
+    # user_id, then distinct + count — all hash aggregates
+    q = REGISTRY["retention_cohorts"][0](spark, SF)
+    p = plan_of(q)
+    notes = check(
+        "retention_cohorts", p,
+        must=[r"HashAggregate"],
+        must_not=[r"BatchEvalPython", r"SortAggregate", r"CartesianProduct",
+                  r"BroadcastNestedLoopJoin"],
+    )
+    sections.append(("retention_cohorts (co-partitioned first-seen join)", p, notes))
+
+    # 21. exact per-group correlation: ONE hash aggregate with map-side
+    # partials (decimal sums are hash-aggregable), no sort, no python
+    q = REGISTRY["corr_by_segment"][0](spark, SF)
+    p = plan_of(q)
+    notes = check(
+        "corr_by_segment", p,
+        must=[r"HashAggregate"],
+        must_not=[r"BatchEvalPython", r"SortAggregate", r"Exchange SinglePartition"],
+    )
+    sections.append(("corr_by_segment (exact integer-sum correlation, hash agg)", p, notes))
+
+    # 22. cluster representatives: the tiny cluster table BROADCASTS into
+    # the corpus join; rank window is partitioned by cluster_id
+    q = REGISTRY["cluster_representatives"][0](spark, SF)
+    p = plan_of(q)
+    notes = check(
+        "cluster_representatives", p,
+        must=[r"BroadcastHashJoin", r"Window", r"HashAggregate"],
+        must_not=[r"BatchEvalPython", r"Exchange SinglePartition", r"CartesianProduct"],
+    )
+    sections.append(("cluster_representatives (broadcast cluster join, keep-one window)", p, notes))
+    release(q)
+
     with open("PLANS.md", "w") as f:
         f.write("# PLANS — physical-plan audit (auto-generated by tools/plan_audit.py)\n\n")
         f.write("Checked properties per plan; full `.explain('formatted')` output below.\n\n")
