@@ -78,6 +78,10 @@ BENCH_QUERIES = [
     "retention_cohorts",
     "corr_by_segment",
     "cluster_representatives",
+    "sample_weighted",
+    "term_postings",
+    "split_assign",
+    "zscore_outliers",
     "events_asof_purchase",
     "events_in_signup_window",
     "key_profile_users",

@@ -59,3 +59,45 @@ def sample_stratified(
         rate = F.when(cond, F.lit(float(r))) if rate is None else rate.when(cond, F.lit(float(r)))
     rate = F.lit(float(default_rate)) if rate is None else rate.otherwise(F.lit(float(default_rate)))
     return df.filter(hash_uniform(key_col, seed, method) < rate)
+
+
+def sample_weighted(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    expected_k: int,
+    group_col: str | None = None,
+    seed: str = "s42",
+    method: str = "xxhash64",
+) -> DataFrame:
+    """Probability-proportional-to-size Poisson sample: keep a row iff
+    ``uniform(hash(key)) * W < expected_k * w`` where ``w`` is the row's
+    integer weight and ``W`` the (per-group) weight total — inclusion
+    probability ``min(1, k·w/W)``, expected sample size ≈ ``expected_k``
+    per group.  Long documents are proportionally more likely to survive,
+    the usual size-biased mixing gate for training corpora.
+
+    Why this formulation and not Efraimidis-Spirakis (``u^(1/w)`` top-k):
+    the A-ES priority needs ``pow``/``ln``, whose last-ulp values differ
+    across libm implementations, so two engines can rank near-ties
+    differently — a reproducibility hazard.  Here every float op is
+    IEEE-754 exactly-rounded (multiply, compare): hash uniform and the
+    decimal-exact weight total produce bit-identical keep decisions in
+    ANY engine (the md5 tier is the oracle-parity twin).
+
+    Scale: one hash-aggregate for the totals (O(groups) rows, broadcast
+    back), then a pure per-row filter — no sort, no top-k shuffle; the
+    weight total accumulates in decimal(38,0) so 10^12 rows × large
+    weights cannot overflow or drift."""
+    w = F.col(weight_col).cast("long")
+    u = hash_uniform(key_col, seed, method)
+    if group_col is None:
+        tot = df.select(F.sum(w.cast("decimal(38,0)")).alias("_wtot"))
+        j = df.crossJoin(F.broadcast(tot))
+    else:
+        tot = df.groupBy(group_col).agg(F.sum(w.cast("decimal(38,0)")).alias("_wtot"))
+        j = df.join(F.broadcast(tot), group_col)
+    keep = (u * F.col("_wtot").cast("double")) < (
+        (F.lit(int(expected_k)) * w).cast("double")
+    )
+    return j.filter(keep).drop("_wtot")

@@ -112,3 +112,62 @@ def exact_group_corr(
     sy2 = F.col("_sy2").cast("double")
     corr = (n * sxy - sx * sy) / F.sqrt((n * sx2 - sx * sx) * (n * sy2 - sy * sy))
     return sums.select(group_col, "n", F.round(corr, 6).alias("corr"))
+
+
+def zscore_outliers(
+    df: DataFrame,
+    x: str,
+    group_col: str,
+    key_col: str,
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Per-group z-score outlier flags with engine-reproducible doubles —
+    the length/quality outlier filter of a corpus-cleaning pass.
+
+    Same exactness discipline as :func:`exact_group_corr`: ``x`` must be
+    integer-valued (cast to long); n/Σx/Σx² accumulate in decimal(38,0)
+    (associative — identical under any partitioning), and only the final
+    closed form runs in floating point.  mean = Σx/n, population variance
+    = (n·Σx² − Σx²̂)/n², z = (x − mean)/σ — multiply/divide/sqrt are all
+    IEEE-754 exactly-rounded, so the SAME expression tree in any engine
+    produces bit-identical z and identical keep decisions.
+
+    Scale: one hash-aggregate to O(groups) rows, broadcast back, per-row
+    filter — no window, no sort.  Output: (key, group, x, z) for rows
+    with |z| > threshold, z rounded to 6 decimals AFTER the compare (the
+    gate uses the full-precision value).
+    """
+    xi = F.col(x).cast("long")
+
+    def _dsum(col):
+        return F.sum(col.cast("decimal(38,0)"))
+
+    g = (
+        df.select(F.col(group_col), xi.alias("_x"))
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            _dsum(F.col("_x")).alias("_sx"),
+            _dsum(F.col("_x") * F.col("_x")).alias("_sx2"),
+        )
+    )
+    n = F.col("_n").cast("double")
+    sx = F.col("_sx").cast("double")
+    sx2 = F.col("_sx2").cast("double")
+    stats = g.select(
+        group_col,
+        (sx / n).alias("_mean"),
+        F.sqrt((n * sx2 - sx * sx) / (n * n)).alias("_std"),
+    )
+    j = df.join(F.broadcast(stats), group_col)
+    z = (xi.cast("double") - F.col("_mean")) / F.col("_std")
+    return (
+        j.filter(F.col("_std") > 0)
+        .filter(F.abs(z) > F.lit(float(threshold)))
+        .select(
+            F.col(key_col),
+            F.col(group_col),
+            xi.alias(x),
+            F.round(z, 6).alias("zscore"),
+        )
+    )

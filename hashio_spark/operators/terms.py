@@ -73,3 +73,50 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= top_k)
         .select(id_col, "term", F.col("rank").cast("long").alias("rank"), "tfidf")
     )
+
+
+def term_postings(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_postings: int = 10,
+    min_df: int = 2,
+) -> DataFrame:
+    """Inverted index build: (term, df, postings) where ``postings`` is
+    the first ``max_postings`` doc ids (ascending) joined with commas —
+    the lookup structure contamination checks and exact-phrase dedupe
+    verify against, materialized as a table instead of an index file.
+
+    Scale shape: the posting list is CAPPED BEFORE collection — a
+    row_number window partitioned by term (WindowGroupLimit pushes the
+    top-k below the sort) keeps ``max_postings`` rows per term, so
+    ``collect_list`` state is bounded at k for every term; a stopword
+    appearing in every one of 10^12 docs still contributes exactly k
+    entries.  The df count and the capped postings aggregate share one
+    hash-partitioning on term (AQE reuses the exchange).  ``min_df``
+    drops the hapax tail, which at web scale is most of the vocabulary.
+    """
+    toks = (
+        docs.select(
+            F.col(id_col), F.explode(F.split(F.col(text_col), r"\s+")).alias("term")
+        )
+        .filter(F.col("term") != "")
+        .select("term", F.col(id_col).alias("_doc"))
+        .distinct()
+    )
+    counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") >= min_df
+    )
+    w = Window.partitionBy("term").orderBy(F.asc("_doc"))
+    capped = toks.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= max_postings
+    )
+    posts = capped.groupBy("term").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list("_doc")), lambda x: x.cast("string")
+            ),
+            ",",
+        ).alias("postings")
+    )
+    return counts.join(posts, "term")

@@ -2504,3 +2504,154 @@ FROM m GROUP BY 1
 
 
 REGISTRY["cluster_representatives"] = (cluster_representatives, CLUSTER_REPRESENTATIVES_SQL)
+
+
+def sample_weighted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size-biased corpus mixing: PPS Poisson sample, expected ~50 docs
+    per language, inclusion probability ∝ n_chars (operators/sampling.
+    sample_weighted).  The md5 uniform tier is the oracle-parity twin;
+    production uses xxhash64.  Deliberately NOT Efraimidis-Spirakis: the
+    gate ``u·W < k·w`` uses only exactly-rounded IEEE ops (no pow/ln), so
+    the keep set is bit-identical in any engine — see the operator
+    docstring."""
+    from hashio_spark.operators.sampling import sample_weighted
+
+    d = _t(spark, sf_dir, "documents")
+    out = sample_weighted(
+        d, "doc_id", "n_chars", expected_k=50, group_col="lang", method="md5"
+    )
+    return out.select("doc_id", "lang", "n_chars")
+
+
+SAMPLE_WEIGHTED_SQL = """
+WITH tot AS (
+  SELECT lang, sum(cast(n_chars AS decimal(38,0))) AS wtot FROM documents GROUP BY 1
+)
+SELECT d.doc_id, d.lang, d.n_chars
+FROM documents d JOIN tot USING (lang)
+WHERE ((CAST(concat('0x', substr(md5(concat(CAST(d.doc_id AS VARCHAR), 's42')), 1, 15)) AS BIGINT)
+        % 1000000) / 1000000.0) * cast(tot.wtot AS double)
+    < cast(50 * d.n_chars AS double)
+"""
+
+
+REGISTRY["sample_weighted"] = (sample_weighted_q, SAMPLE_WEIGHTED_SQL)
+
+
+def term_postings_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build (operators/terms.term_postings): term → df +
+    capped comma-joined posting list.  The cap happens BEFORE collection
+    (WindowGroupLimit top-k per term), so no stopword can blow up
+    collect_list state — the plan-audit asserts the window is partitioned
+    by term and the df/postings aggregates share one term shuffle."""
+    from hashio_spark.operators.terms import term_postings
+
+    d = _t(spark, sf_dir, "documents")
+    return term_postings(d, "doc_id", "text", max_postings=10, min_df=2)
+
+
+TERM_POSTINGS_SQL = r"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, tok AS term FROM (
+    SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok FROM documents
+  ) WHERE tok <> ''
+), c AS (
+  SELECT term, count(*) AS df FROM toks GROUP BY 1 HAVING count(*) >= 2
+), r AS (
+  SELECT term, doc_id, row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn FROM toks
+), p AS (
+  SELECT term, array_to_string(list(cast(doc_id AS varchar) ORDER BY doc_id), ',') AS postings
+  FROM r WHERE rn <= 10 GROUP BY 1
+)
+SELECT term, c.df, p.postings FROM c JOIN p USING (term)
+"""
+
+
+REGISTRY["term_postings"] = (term_postings_q, TERM_POSTINGS_SQL)
+
+
+def split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/valid/test assignment + audit: split =
+    threshold bands over the md5 key-hash uniform (80/10/10), reported
+    as per-(lang, split) counts and mean length.  The same hash gate as
+    sample_stratified, so the split is layout-independent, stable across
+    re-runs, and disjoint-exhaustive BY CONSTRUCTION (bands partition
+    [0,1)); the audit aggregate is what a pipeline asserts before
+    training.  Pure per-row expr + one hash-aggregate."""
+    d = _t(spark, sf_dir, "documents")
+    from hashio_spark.operators.sampling import hash_uniform
+
+    u = hash_uniform("doc_id", method="md5")
+    split = (
+        F.when(u < 0.8, F.lit("train")).when(u < 0.9, F.lit("valid")).otherwise(F.lit("test"))
+    )
+    return (
+        d.select("lang", split.alias("split"), "n_chars")
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("n_chars").cast("decimal(38,0)")).cast("long").alias("total_chars"),
+            F.round(
+                F.sum(F.col("n_chars").cast("decimal(38,0)")).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("avg_chars"),
+        )
+    )
+
+
+SPLIT_ASSIGN_SQL = """
+WITH s AS (
+  SELECT lang, n_chars,
+    CASE
+      WHEN ((CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), 's42')), 1, 15)) AS BIGINT)
+             % 1000000) / 1000000.0) < 0.8 THEN 'train'
+      WHEN ((CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), 's42')), 1, 15)) AS BIGINT)
+             % 1000000) / 1000000.0) < 0.9 THEN 'valid'
+      ELSE 'test'
+    END AS split
+  FROM documents
+)
+SELECT lang, split, count(*) AS n_docs,
+  cast(sum(cast(n_chars AS decimal(38,0))) AS bigint) AS total_chars,
+  round(cast(sum(cast(n_chars AS decimal(38,0))) AS double) / cast(count(*) AS double), 6) AS avg_chars
+FROM s GROUP BY 1, 2
+"""
+
+
+REGISTRY["split_assign"] = (split_assign, SPLIT_ASSIGN_SQL)
+
+
+def zscore_outliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language length outliers (operators/stats.zscore_outliers):
+    |z| > 1.5 on n_chars, z from decimal-exact integer power sums so the
+    keep set and the 6-decimal z are bit-identical across engines.  One
+    hash-aggregate to O(langs) rows, broadcast back, per-row filter —
+    no window, no sort."""
+    from hashio_spark.operators.stats import zscore_outliers
+
+    d = _t(spark, sf_dir, "documents")
+    return zscore_outliers(d, "n_chars", "lang", "doc_id", threshold=1.5)
+
+
+ZSCORE_OUTLIERS_SQL = """
+WITH g AS (
+  SELECT lang, count(*) AS n,
+    sum(cast(n_chars AS decimal(38,0))) AS sx,
+    sum(cast(n_chars * n_chars AS decimal(38,0))) AS sx2
+  FROM documents GROUP BY 1
+), s AS (
+  SELECT lang,
+    cast(sx AS double) / cast(n AS double) AS mean,
+    sqrt((cast(n AS double) * cast(sx2 AS double) - cast(sx AS double) * cast(sx AS double))
+         / (cast(n AS double) * cast(n AS double))) AS std
+  FROM g
+)
+SELECT d.doc_id, d.lang, d.n_chars,
+  round((cast(d.n_chars AS double) - s.mean) / s.std, 6) AS zscore
+FROM documents d JOIN s USING (lang)
+WHERE s.std > 0 AND abs((cast(d.n_chars AS double) - s.mean) / s.std) > 1.5
+"""
+
+
+REGISTRY["zscore_outliers"] = (zscore_outliers_q, ZSCORE_OUTLIERS_SQL)

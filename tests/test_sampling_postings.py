@@ -1,0 +1,106 @@
+"""Weighted PPS sampling, inverted-index postings, split audit, z-outliers
+vs pure-Python models (engine-reproducibility is the whole point of these
+operators, so every test pins exact equality, not tolerances)."""
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from hashio_spark.operators.sampling import sample_weighted
+from hashio_spark.operators.stats import zscore_outliers
+from hashio_spark.operators.terms import term_postings
+
+
+def _md5_uniform(key, seed="s42"):
+    # pure-Python twin of sampling.hash_uniform(method="md5")
+    h = int(hashlib.md5(f"{key}{seed}".encode()).hexdigest()[:15], 16)
+    return (h % 1_000_000) / 1_000_000.0
+
+
+@pytest.mark.parametrize("n_parts", [1, 5])
+def test_sample_weighted_matches_model_any_partitioning(spark, n_parts):
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, "g%d" % (i % 2), rng.randint(1, 5000)) for i in range(400)]
+    df = spark.createDataFrame(rows, "k long, g string, w long").repartition(n_parts)
+    got = sorted(r.k for r in sample_weighted(df, "k", "w", 10, group_col="g", method="md5").collect())
+
+    wtot = {}
+    for _, g, w in rows:
+        wtot[g] = wtot.get(g, 0) + w
+    want = sorted(k for k, g, w in rows if _md5_uniform(k) * float(wtot[g]) < float(10 * w))
+    assert got == want
+    assert 0 < len(got) < len(rows)
+
+
+def test_sample_weighted_monotone_in_k(spark):
+    rows = [(i, i % 97 + 1) for i in range(300)]
+    df = spark.createDataFrame(rows, "k long, w long")
+    small = {r.k for r in sample_weighted(df, "k", "w", 5, method="md5").collect()}
+    big = {r.k for r in sample_weighted(df, "k", "w", 20, method="md5").collect()}
+    # raising k keeps a superset (the gate is monotone in k), the property
+    # that makes re-mixing at a higher rate reuse the earlier sample
+    assert small <= big
+
+
+def test_sample_weighted_zero_weight_never_kept(spark):
+    df = spark.createDataFrame([(1, 0), (2, 10)], "k long, w long")
+    kept = {r.k for r in sample_weighted(df, "k", "w", 1000, method="md5").collect()}
+    assert 1 not in kept and 2 in kept
+
+
+def test_term_postings_hand_case(spark):
+    docs = spark.createDataFrame(
+        [
+            (3, "hot cold"),
+            (1, "hot unique1"),
+            (2, "hot cold"),
+            (10, "hot"),  # string-sort would put 10 before 2; numeric must not
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.term: (r.df, r.postings) for r in term_postings(docs, max_postings=3).collect()}
+    # hapax dropped by min_df=2
+    assert "unique1" not in out
+    assert out["cold"] == (2, "2,3")
+    # df counts ALL docs; postings capped at 3 in NUMERIC doc order
+    assert out["hot"] == (4, "1,2,3")
+
+
+def test_term_postings_dedupes_within_doc(spark):
+    docs = spark.createDataFrame([(1, "a a a"), (2, "a")], "doc_id long, text string")
+    out = {r.term: (r.df, r.postings) for r in term_postings(docs, max_postings=10).collect()}
+    assert out["a"] == (2, "1,2")
+
+
+@pytest.mark.parametrize("n_parts", [1, 6])
+def test_zscore_outliers_matches_model(spark, n_parts):
+    import random
+
+    rng = random.Random(11)
+    rows = [(i, "g", rng.randint(100, 200)) for i in range(200)]
+    rows += [(900, "g", 10_000), (901, "g", 1)]  # planted outliers
+    df = spark.createDataFrame(rows, "k long, g string, x long").repartition(n_parts)
+    got = {r.k: r.zscore for r in zscore_outliers(df, "x", "g", "k", threshold=3.0).collect()}
+
+    xs = [x for _, _, x in rows]
+    n = float(len(xs))
+    sx, sx2 = float(sum(xs)), float(sum(v * v for v in xs))
+    mean = sx / n
+    std = math.sqrt((n * sx2 - sx * sx) / (n * n))
+    want = {
+        k: round((float(x) - mean) / std, 6)
+        for k, _, x in rows
+        if abs((float(x) - mean) / std) > 3.0
+    }
+    assert got == want
+    assert 900 in got and got[900] > 3
+
+
+def test_zscore_outliers_constant_group_dropped(spark):
+    df = spark.createDataFrame([(i, "c", 5) for i in range(10)], "k long, g string, x long")
+    # zero variance -> no rows rather than a divide-by-zero NaN
+    assert zscore_outliers(df, "x", "g", "k", threshold=0.1).count() == 0

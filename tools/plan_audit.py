@@ -379,6 +379,52 @@ def main() -> None:
     sections.append(("cluster_representatives (broadcast cluster join, keep-one window)", p, notes))
     release(q)
 
+    # 23. weighted PPS sample: one hash agg for per-group totals, broadcast
+    # back, per-row gate — no window, no sort, no python
+    q = REGISTRY["sample_weighted"][0](spark, SF)
+    p = plan_of(q)
+    notes = check(
+        "sample_weighted", p,
+        must=[r"HashAggregate", r"BroadcastExchange"],
+        must_not=[r"BatchEvalPython", r"SortAggregate", r"Window",
+                  r"Exchange SinglePartition", r"CartesianProduct"],
+    )
+    sections.append(("sample_weighted (PPS gate: totals hash-agg + broadcast, per-row filter)", p, notes))
+
+    # 24. inverted-index postings: the cap is a term-PARTITIONED window
+    # (bounded collect state); df + postings share the term shuffle
+    q = REGISTRY["term_postings"][0](spark, SF)
+    p = plan_of(q)
+    notes = check(
+        "term_postings", p,
+        must=[r"HashAggregate", r"Window"],
+        must_not=[r"BatchEvalPython", r"Exchange SinglePartition", r"CartesianProduct"],
+    )
+    sections.append(("term_postings (capped-before-collect posting lists)", p, notes))
+
+    # 25. split audit: pure per-row hash banding + ONE hash aggregate
+    q = REGISTRY["split_assign"][0](spark, SF)
+    p = plan_of(q)
+    notes = check(
+        "split_assign", p,
+        must=[r"HashAggregate"],
+        must_not=[r"BatchEvalPython", r"SortAggregate", r"Window",
+                  r"Exchange SinglePartition", r"CartesianProduct", r"Join"],
+    )
+    sections.append(("split_assign (hash-band split + single audit agg)", p, notes))
+
+    # 26. z-outliers: O(groups) stats hash-agg broadcast back, per-row gate
+    q = REGISTRY["zscore_outliers"][0](spark, SF)
+    p = plan_of(q)
+    notes = check(
+        "zscore_outliers", p,
+        must=[r"HashAggregate", r"BroadcastExchange"],
+        must_not=[r"BatchEvalPython", r"SortAggregate", r"Window",
+                  r"Exchange SinglePartition", r"CartesianProduct"],
+    )
+    sections.append(("zscore_outliers (decimal-exact group stats, broadcast gate)", p, notes))
+    release(q)
+
     with open("PLANS.md", "w") as f:
         f.write("# PLANS — physical-plan audit (auto-generated by tools/plan_audit.py)\n\n")
         f.write("Checked properties per plan; full `.explain('formatted')` output below.\n\n")
