@@ -235,6 +235,36 @@ def _run_validation_batch(cores: int, n_passes: int, max_retries: int = 8,
         spark.stop()
 
 
+def _run_batch_isolated(cores: int, n_passes: int, algo: str | None = None) -> list[float]:
+    """Run one validation batch in a FRESH subprocess → fresh JVM.
+
+    PySpark keeps one gateway JVM per Python process; ``spark.stop()``
+    ends the SparkContext but not the JVM, so a long query-leg session
+    bequeaths its heap (codegen classes, broadcast remnants) to every
+    later ``SparkSession``.  Measured failure mode: after the ~60-leg
+    catalog pass, 8-core flagship passes ran at 8× the normal JVM
+    cpu-time (full-heap GC thrash at the 24g cap) and tripped the
+    starved-pass detector indefinitely.  A subprocess per batch is also
+    the honest analog of what the north rule measures — each topology
+    gets the fresh executors a real cluster submission would."""
+    import subprocess
+
+    cmd = [sys.executable, os.path.abspath(__file__), "--batch", str(cores), str(n_passes)]
+    if algo:
+        cmd.append(algo)
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.path.dirname(os.path.abspath(__file__))
+    proc = subprocess.run(cmd, capture_output=True, text=True, env=env)
+    for ln in proc.stderr.splitlines():
+        if ln.startswith("#"):
+            print(ln, file=sys.stderr)
+    if proc.returncode != 0:
+        raise RuntimeError(
+            f"batch subprocess failed (cores={cores}): {proc.stderr[-500:]}"
+        )
+    return json.loads(proc.stdout.strip().splitlines()[-1])
+
+
 def _fast_tier_queries():
     """(name, fn) pairs for the xxhash64 production dedupe tier."""
     from hashio_spark.operators.dedupe import (
@@ -302,15 +332,15 @@ def main() -> None:
     # 0.833/0.808 — the spread is hypervisor noise in which leg finds its
     # clean window, so more samples tighten both mins toward true cost
     for _ in range(2):
-        t_small_all += _run_validation_batch(small, 3)
-        t_big_all += _run_validation_batch(big, 3)
+        t_small_all += _run_batch_isolated(small, 3)
+        t_big_all += _run_batch_isolated(big, 3)
     t_small, t_big = min(t_small_all), min(t_big_all)
     efficiency = (t_small / t_big) / (big / small)
     docs_per_sec = N_DOCS / t_big
 
     # stretch leg: the native-xxhash64 "fast" tier (no canonical-digest
     # parity) — records the headroom over the canonical algo, min-of-2
-    t_fast = min(_run_validation_batch(big, 2, algo="fast"))
+    t_fast = min(_run_batch_isolated(big, 2, algo="fast"))
 
     out["metric"] = "docs/sec validated (full stats+constraint+digest pass)"
     out["queries"] = qtimes
@@ -344,4 +374,9 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--batch":
+        _cores, _n = int(sys.argv[2]), int(sys.argv[3])
+        _algo = sys.argv[4] if len(sys.argv) > 4 else None
+        print(json.dumps(_run_validation_batch(_cores, _n, algo=_algo)))
+    else:
+        main()
