@@ -70,6 +70,7 @@ BENCH_QUERIES = [
     "domain_counts",
     "count_anomalies",
     "contamination_check",
+    "crosscorpus_neardup",
     "repetition_stats",
     "sample_stratified",
     "sample_cap_per_group",

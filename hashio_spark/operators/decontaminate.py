@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from hashio_spark.caching import track
 from hashio_spark.functions.text import word_shingles_from_tokens
 
 
@@ -78,3 +79,92 @@ def contamination(
         .filter(F.col("n_shared") >= min_hits)
     )
     return hits.select(F.col("key").alias(key_col), "n_shared")
+
+
+def crosscorpus_neardup(
+    train: DataFrame,
+    benchmark: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    n_perm: int = 16,
+    n_bands: int = 4,
+    max_band_size: int = 64,
+    min_jaccard: float = 0.5,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Paraphrase-level decontamination: (train_key, bench_key, jaccard)
+    for train docs whose shingle set near-duplicates a benchmark doc —
+    the fuzzy complement of :func:`contamination`'s exact n-gram overlap
+    (a reworded eval question shares few exact 3-grams but most of its
+    shingle set).
+
+    Scale shape (train = 10^12 docs, benchmark = 10^4..10^6):
+    * both corpora band through the SAME ``minhash_band_values``
+      expression — signatures are per-row projections, no shuffle;
+    * the benchmark band table is tiny → **broadcast hash join**: the
+      train corpus is never shuffled, the bipartite candidate join is
+      map-side (vs the self-join path, which must shuffle on band);
+    * the band-size cap applies to the TRAIN side (the only side that
+      can blow up a bucket), but sizes are counted AFTER a broadcast
+      semi-join against the benchmark bands: a band absent from the
+      benchmark yields no candidates regardless of cap, so restricting
+      the count to bench-present bands is output-identical while
+      shrinking the size aggregation's input from 10^12 × n_bands rows
+      (a full shuffle of the banded corpus) to just the matching slice;
+    * candidates then pass exact Jaccard ≥ ``min_jaccard`` with the
+      benchmark shingle sets ALSO broadcast.
+
+    Returns all (train, bench, jaccard) matches; anti-join ``train``
+    against ``.select(key_col)`` of the result to drop flagged docs.
+    """
+    from hashio_spark.functions.text import word_shingles_from_tokens
+    from hashio_spark.operators.dedupe import minhash_band_values, minhash_signatures
+
+    t_bands = minhash_band_values(
+        minhash_signatures(train, key_col, text_col, n_perm=n_perm, shingle_k=shingle_k),
+        n_bands=n_bands, n_perm=n_perm,
+    )
+    b_bands = minhash_band_values(
+        minhash_signatures(benchmark, key_col, text_col, n_perm=n_perm, shingle_k=shingle_k),
+        n_bands=n_bands, n_perm=n_perm,
+    )
+    bench_bands = F.broadcast(b_bands.withColumnRenamed("key", "bench_key"))
+    # only bands the benchmark actually occupies can produce candidates —
+    # count sizes over that (tiny) slice, not the full banded corpus.
+    # hits feeds two consumers (sizes + ok); persisted so the minhash
+    # upstream runs once — caller releases via hashio_spark.caching.release
+    hits = t_bands.join(
+        F.broadcast(b_bands.select("band_id", "band_val").distinct()),
+        ["band_id", "band_val"],
+        "left_semi",
+    ).persist()
+    sizes = hits.groupBy("band_id", "band_val").agg(F.count(F.lit(1)).alias("n"))
+    ok = hits.join(
+        F.broadcast(sizes.filter(F.col("n") <= max_band_size)),
+        ["band_id", "band_val"],
+    )
+    cand = (
+        ok.join(bench_bands, ["band_id", "band_val"])
+        .select(F.col("key").alias("train_key"), "bench_key")
+        .distinct()
+    )
+
+    def _sets(df: DataFrame, out: str) -> DataFrame:
+        toked = df.select(
+            F.col(key_col).alias(out), F.split(F.col(text_col), r"\s+").alias("_toks")
+        )
+        return toked.select(
+            out, F.array_distinct(word_shingles_from_tokens("_toks", shingle_k)).alias(f"_sh_{out}")
+        )
+
+    j = cand.join(_sets(train, "train_key"), "train_key").join(
+        F.broadcast(_sets(benchmark, "bench_key")), "bench_key"
+    )
+    inter = F.size(F.array_intersect(F.col("_sh_train_key"), F.col("_sh_bench_key"))).cast("double")
+    union = F.size(F.array_union(F.col("_sh_train_key"), F.col("_sh_bench_key"))).cast("double")
+    jac = F.round(inter / union, 6)
+    out = (
+        j.select("train_key", "bench_key", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= min_jaccard)
+    )
+    return track(out, hits)

@@ -94,6 +94,44 @@ def minhash_signatures(df: DataFrame, key_col: str, text_col: str, n_perm: int =
     return shingled.select("key", sig.alias("sig"))
 
 
+def minhash_band_values(sig_df: DataFrame, n_bands: int = 4, n_perm: int = 16) -> DataFrame:
+    """(key, band_id, band_val) from a MinHash signature column — the
+    shared banding step of the self-join (:func:`lsh_candidate_pairs`)
+    and the cross-corpus (``decontaminate.crosscorpus_neardup``) LSH
+    paths.  Both corpora of a bipartite join MUST band through the same
+    expression or their bucket spaces never collide.
+
+    Null-signature rows (shingle-less docs) are nulled INSIDE the band
+    expression and filtered on the generated attribute after the explode
+    — see :func:`lsh_candidate_pairs` for why a pre-filter on ``sig``
+    would re-run the minhash pipeline per row."""
+    if n_perm % n_bands != 0:
+        raise ValueError(f"n_perm={n_perm} must be divisible by n_bands={n_bands}")
+    rows_per_band = n_perm // n_bands
+
+    def band(i: int) -> Column:
+        return F.when(F.col("sig")[0].isNull(), F.lit(None).cast("long")).otherwise(
+            F.xxhash64(
+                F.lit(i),
+                F.concat_ws(
+                    ",",
+                    F.transform(F.slice(F.col("sig"), i * rows_per_band + 1, rows_per_band), lambda x: x.cast("string")),
+                ),
+            )
+        )
+
+    return (
+        sig_df.select(
+            "key",
+            F.explode(
+                F.array(*[F.struct(F.lit(i).alias("band_id"), band(i).alias("band_val")) for i in range(n_bands)])
+            ).alias("b"),
+        )
+        .select("key", F.col("b.band_id").alias("band_id"), F.col("b.band_val").alias("band_val"))
+        .filter(F.col("band_val").isNotNull())
+    )
+
+
 def lsh_candidate_pairs(
     sig_df: DataFrame, n_bands: int = 4, max_band_size: int = 64, n_perm: int = 16
 ) -> DataFrame:
@@ -118,31 +156,7 @@ def lsh_candidate_pairs(
     nullness (the BENCH.md finding-#8 shape); a filter on the exploded
     output cannot sink below the Generate.
     """
-    if n_perm % n_bands != 0:
-        raise ValueError(f"n_perm={n_perm} must be divisible by n_bands={n_bands}")
-    rows_per_band = n_perm // n_bands
-
-    def band(i: int, rows_per_band: int) -> Column:
-        return F.when(F.col("sig")[0].isNull(), F.lit(None).cast("long")).otherwise(
-            F.xxhash64(
-                F.lit(i),
-                F.concat_ws(
-                    ",",
-                    F.transform(F.slice(F.col("sig"), i * rows_per_band + 1, rows_per_band), lambda x: x.cast("string")),
-                ),
-            )
-        )
-
-    bands = (
-        sig_df.select(
-            "key",
-            F.explode(
-                F.array(*[F.struct(F.lit(i).alias("band_id"), band(i, rows_per_band).alias("band_val")) for i in range(n_bands)])
-            ).alias("b"),
-        )
-        .select("key", F.col("b.band_id").alias("band_id"), F.col("b.band_val").alias("band_val"))
-        .filter(F.col("band_val").isNotNull())
-    )
+    bands = minhash_band_values(sig_df, n_bands=n_bands, n_perm=n_perm)
     # bands feeds THREE consumers (sizes + both self-join sides); without a
     # persist Catalyst recomputes the whole minhash upstream per consumer —
     # measured 33 s → 7 s at sf0.1.  The persisted projection is narrow

@@ -2655,3 +2655,119 @@ WHERE s.std > 0 AND abs((cast(d.n_chars AS double) - s.mean) / s.std) > 1.5
 
 
 REGISTRY["zscore_outliers"] = (zscore_outliers_q, ZSCORE_OUTLIERS_SQL)
+
+
+def crosscorpus_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paraphrase-level decontamination (md5 oracle twin of
+    ``operators/decontaminate.crosscorpus_neardup``): train docs (source
+    != 'src0') whose 3-shingle set near-duplicates a benchmark doc
+    (source == 'src0'), via the same 4-perm/2-band MinHash LSH as
+    :func:`dedupe_minhash_lsh` — but BIPARTITE: the tiny benchmark band
+    table broadcasts, so the train corpus is never shuffled for the
+    candidate join (the scale story vs the self-join's band shuffle).
+    Candidates then pass exact Jaccard >= 0.2 with the benchmark shingle
+    sets also broadcast.  Production tier: xxhash64 signatures, n_perm=16
+    (`crosscorpus_neardup`)."""
+    d = _t(spark, sf_dir, "documents").filter(
+        F.size(F.split(F.col("text"), " ")) >= 3
+    )
+    toked = d.select("doc_id", "source", F.split(F.col("text"), " ").alias("_toks"))
+    tk = F.col("_toks")
+    idx = F.when(F.size(tk) >= 3, F.sequence(F.lit(1), F.size(tk) - 2)).otherwise(
+        F.array().cast("array<int>")
+    )
+    shingled = toked.select(
+        "doc_id", "source",
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tk, i, 3))).alias("_sh"),
+    )
+
+    def _sig(prefix: str):
+        return F.array_min(
+            F.transform(F.col("_sh"), lambda s: F.md5(F.concat(F.lit(prefix), s).cast("binary")))
+        )
+
+    sig = shingled.select(
+        "doc_id", "source", *[_sig(f"{k}|").alias(f"sig{k}") for k in range(4)]
+    )
+
+    def _bands(df, key_out):
+        b0 = df.select(F.col("doc_id").alias(key_out), F.concat_ws("_", F.lit("b0"), "sig0", "sig1").alias("band"))
+        b1 = df.select(F.col("doc_id").alias(key_out), F.concat_ws("_", F.lit("b1"), "sig2", "sig3").alias("band"))
+        return b0.unionByName(b1)
+
+    train_b = _bands(sig.filter(F.col("source") != "src0"), "doc_id")
+    bench_b = _bands(sig.filter(F.col("source") == "src0"), "bench_id")
+    # size the train bands AFTER a broadcast semi-join against the bench
+    # bands: bands absent from the benchmark yield no candidates whatever
+    # the cap, so the restriction is output-identical (the oracle counts
+    # over all train bands) while the size agg's input shrinks from the
+    # full banded corpus to the bench-present slice
+    hits = train_b.join(
+        F.broadcast(bench_b.select("band").distinct()), "band", "left_semi"
+    )
+    sizes = hits.groupBy("band").agg(F.count(F.lit(1)).alias("n"))
+    ok = hits.join(F.broadcast(sizes.filter(F.col("n") <= 64)), "band")
+    cand = ok.join(F.broadcast(bench_b), "band").select("doc_id", "bench_id").distinct()
+
+    sets_ = shingled.select("doc_id", "source", F.array_distinct("_sh").alias("sh"))
+    tr = sets_.filter(F.col("source") != "src0").select("doc_id", F.col("sh").alias("sh_t"))
+    be = sets_.filter(F.col("source") == "src0").select(
+        F.col("doc_id").alias("bench_id"), F.col("sh").alias("sh_b")
+    )
+    j = cand.join(tr, "doc_id").join(F.broadcast(be), "bench_id")
+    inter = F.size(F.array_intersect(F.col("sh_t"), F.col("sh_b"))).cast("double")
+    union = F.size(F.array_union(F.col("sh_t"), F.col("sh_b"))).cast("double")
+    jac = F.round(inter / union, 6)
+    return (
+        j.select("doc_id", "bench_id", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.2)
+    )
+
+
+CROSSCORPUS_NEARDUP_SQL = """
+WITH s AS (
+  SELECT doc_id, source,
+    list_transform(generate_series(1, greatest(len(string_split(text,' ')) - 2, 0)),
+                   i -> array_to_string((string_split(text,' '))[i:i+2], ' ')) AS shingles
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+), sig AS (
+  SELECT doc_id, source,
+    list_min(list_transform(shingles, x -> md5(concat('0|', x)))) AS sig0,
+    list_min(list_transform(shingles, x -> md5(concat('1|', x)))) AS sig1,
+    list_min(list_transform(shingles, x -> md5(concat('2|', x)))) AS sig2,
+    list_min(list_transform(shingles, x -> md5(concat('3|', x)))) AS sig3
+  FROM s
+), tb AS (
+  SELECT doc_id, concat('b0', '_', sig0, '_', sig1) AS band FROM sig
+  WHERE source <> 'src0' AND sig0 IS NOT NULL
+  UNION ALL
+  SELECT doc_id, concat('b1', '_', sig2, '_', sig3) AS band FROM sig
+  WHERE source <> 'src0' AND sig0 IS NOT NULL
+), bb AS (
+  SELECT doc_id AS bench_id, concat('b0', '_', sig0, '_', sig1) AS band FROM sig
+  WHERE source = 'src0' AND sig0 IS NOT NULL
+  UNION ALL
+  SELECT doc_id AS bench_id, concat('b1', '_', sig2, '_', sig3) AS band FROM sig
+  WHERE source = 'src0' AND sig0 IS NOT NULL
+), sizes AS (
+  SELECT band, count(*) AS n FROM tb GROUP BY band
+), cand AS (
+  SELECT DISTINCT tb.doc_id, bb.bench_id
+  FROM tb JOIN sizes USING (band) JOIN bb USING (band)
+  WHERE sizes.n <= 64
+), sets AS (
+  SELECT doc_id, source, list_distinct(shingles) AS sh FROM s
+)
+SELECT cand.doc_id, cand.bench_id,
+  round(cast(len(list_intersect(st.sh, sb.sh)) AS double)
+        / cast(len(list_distinct(list_concat(st.sh, sb.sh))) AS double), 6) AS jaccard
+FROM cand
+JOIN sets st ON cand.doc_id = st.doc_id
+JOIN sets sb ON cand.bench_id = sb.doc_id
+WHERE round(cast(len(list_intersect(st.sh, sb.sh)) AS double)
+        / cast(len(list_distinct(list_concat(st.sh, sb.sh))) AS double), 6) >= 0.2
+"""
+
+
+REGISTRY["crosscorpus_neardup"] = (crosscorpus_neardup_q, CROSSCORPUS_NEARDUP_SQL)

@@ -104,3 +104,43 @@ def test_zscore_outliers_constant_group_dropped(spark):
     df = spark.createDataFrame([(i, "c", 5) for i in range(10)], "k long, g string, x long")
     # zero variance -> no rows rather than a divide-by-zero NaN
     assert zscore_outliers(df, "x", "g", "k", threshold=0.1).count() == 0
+
+
+def test_crosscorpus_neardup_finds_planted_paraphrase(spark):
+    from hashio_spark.operators.decontaminate import crosscorpus_neardup
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog tonight")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            # near-dup of the benchmark doc (one word changed)
+            (1, "the quick brown fox jumps over the lazy cat tonight"),
+            # unrelated
+            (2, "completely different words about spark physical plans"),
+            # shingle-less (short) doc must not crash or match
+            (3, "too short"),
+        ],
+        "doc_id long, text string",
+    )
+    # n_bands=8 (2 rows/band) so a Jaccard-0.6 pair collides
+    # deterministically with these hash seeds; the default 4-band
+    # setting targets higher-similarity pairs and legitimately misses it
+    got = crosscorpus_neardup(train, bench, n_bands=8, min_jaccard=0.3).collect()
+    assert [(r.train_key, r.bench_key) for r in got] == [(1, 100)]
+    assert 0.3 <= got[0].jaccard < 1.0
+
+
+def test_crosscorpus_neardup_band_cap_drops_degenerate_bucket(spark):
+    from hashio_spark.operators.decontaminate import crosscorpus_neardup
+
+    # 30 identical train docs all land in one band bucket; cap at 10
+    # drops the bucket entirely (quadratic-blowup guard), so nothing
+    # matches even though every doc is a true near-dup
+    text = "alpha beta gamma delta epsilon zeta eta theta"
+    train = spark.createDataFrame([(i, text) for i in range(30)], "doc_id long, text string")
+    bench = spark.createDataFrame([(99, text)], "doc_id long, text string")
+    assert crosscorpus_neardup(train, bench, max_band_size=10).count() == 0
+    # with a permissive cap all 30 match
+    assert crosscorpus_neardup(train, bench, max_band_size=64).count() == 30

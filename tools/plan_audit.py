@@ -425,6 +425,22 @@ def main() -> None:
     sections.append(("zscore_outliers (decimal-exact group stats, broadcast gate)", p, notes))
     release(q)
 
+    # 27. cross-corpus decontamination: bipartite LSH — the benchmark
+    # side broadcasts everywhere (bands, size gate, shingle sets), so the
+    # train corpus is never join-shuffled; band sizes are counted on the
+    # bench-present slice only (semi-join BEFORE the agg)
+    q = REGISTRY["crosscorpus_neardup"][0](spark, SF)
+    p = plan_of(q)
+    notes = check(
+        "crosscorpus_neardup", p,
+        must=[r"BroadcastHashJoin", r"HashAggregate"],
+        must_not=[r"BatchEvalPython", r"SortAggregate",
+                  r"Exchange SinglePartition", r"CartesianProduct",
+                  r"SortMergeJoin"],
+    )
+    sections.append(("crosscorpus_neardup (bipartite LSH, benchmark broadcast, semi-join-gated band sizes)", p, notes))
+    release(q)
+
     with open("PLANS.md", "w") as f:
         f.write("# PLANS — physical-plan audit (auto-generated by tools/plan_audit.py)\n\n")
         f.write("Checked properties per plan; full `.explain('formatted')` output below.\n\n")
