@@ -71,6 +71,8 @@ BENCH_QUERIES = [
     "count_anomalies",
     "contamination_check",
     "crosscorpus_neardup",
+    "ingest_gate",
+    "split_leakage",
     "repetition_stats",
     "sample_stratified",
     "sample_cap_per_group",

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 
@@ -277,4 +278,38 @@ def embedding_neardup_pairs(emb: DataFrame, key_col: str, vec_col: str, threshol
     pairs = a.crossJoin(b).filter(F.col("key_a") < F.col("key_b"))
     return pairs.select("key_a", "key_b", cosine_expr(F.col("v_a"), F.col("v_b")).alias("cos")).filter(
         F.col("cos") >= threshold
+    )
+
+
+def ingest_gate(
+    incoming: DataFrame,
+    seen: DataFrame,
+    digest_col: str = "digest",
+    key_col: str | None = None,
+) -> DataFrame:
+    """Incremental ingest gate: drop incoming rows whose content digest
+    was already ingested (``seen`` = the digest column of a previous
+    run's manifest — the corpus-level analog of the manifest store's
+    resume anti-join, reference `worker.py` cache-skip), then dedupe the
+    batch INTERNALLY (first row per digest by ``key_col``) so one load
+    never double-ingests a digest either.
+
+    Scale (incoming batch ≪ 10^12-row seen set, or vice versa):
+    * the anti-join keys BOTH sides on the digest — AQE broadcasts
+      whichever side is small, else a co-partitioned shuffle join; with
+      `spark.sql.optimizer.runtime.bloomFilter.enabled` Spark builds a
+      bloom filter from the smaller side and pre-filters map-side
+      BEFORE the shuffle;
+    * the batch-internal winner is a row_number window partitioned on
+      the SAME digest key, so it reuses the anti-join's partitioning —
+      one Exchange total on the incoming side, no second shuffle.
+    """
+    new = incoming.join(seen.select(digest_col), digest_col, "left_anti")
+    if key_col is None:
+        return new
+    w = Window.partitionBy(digest_col).orderBy(key_col)
+    return (
+        new.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
     )

@@ -101,3 +101,70 @@ def sample_weighted(
         (F.lit(int(expected_k)) * w).cast("double")
     )
     return j.filter(keep).drop("_wtot")
+
+
+def split_expr(
+    key_col: Column | str,
+    bounds: tuple[tuple[float, str], ...] = ((0.8, "train"), (0.9, "valid")),
+    default: str = "test",
+    seed: str = "s42",
+    method: str = "xxhash64",
+) -> Column:
+    """Deterministic split label as a pure per-row expression: threshold
+    bands over the key-hash uniform (default 80/10/10 train/valid/test).
+    Disjoint-exhaustive by construction (bands partition [0,1)), stable
+    across runs, partitionings, and engines (md5 tier) — and, crucially,
+    a pure FUNCTION of the key: any table carrying the key can be
+    labeled without joining back to the corpus."""
+    u = hash_uniform(key_col, seed, method)
+    expr = F.lit(default)
+    for upper, label in reversed(bounds):
+        expr = F.when(u < upper, F.lit(label)).otherwise(expr)
+    return expr
+
+
+def split_leakage(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    bounds: tuple[tuple[float, str], ...] = ((0.8, "train"), (0.9, "valid")),
+    default: str = "test",
+    seed: str = "s42",
+    method: str = "xxhash64",
+) -> DataFrame:
+    """Audit near-duplicate leakage across train/valid/test boundaries:
+    given a near-dup pair table (e.g. LSH candidates or Jaccard-verified
+    pairs), label both sides with :func:`split_expr` and count the pairs
+    whose endpoints fall in DIFFERENT splits — the train→eval
+    contamination that survives per-split dedupe (each split is
+    internally deduped but duplicates CROSSING the boundary leak eval
+    answers into training).
+
+    Returns one row per unordered split pair: (split_a, split_b,
+    n_pairs, n_docs) with split_a < split_b lexically, n_docs = distinct
+    documents involved.
+
+    Scale: because the split is a pure key function there is NO join
+    against the 10^12-row corpus — the audit costs a per-row projection
+    on the (much smaller) pair table plus one hash-aggregate; the
+    distinct-doc count shuffles only the cross-split doc ids."""
+    sa = split_expr(F.col(a_col), bounds, default, seed, method)
+    sb = split_expr(F.col(b_col), bounds, default, seed, method)
+    cross = (
+        pairs.select(
+            sa.alias("_sa"), sb.alias("_sb"), F.col(a_col).alias("_a"), F.col(b_col).alias("_b")
+        )
+        .filter(F.col("_sa") != F.col("_sb"))
+        .select(
+            F.least("_sa", "_sb").alias("split_a"),
+            F.greatest("_sa", "_sb").alias("split_b"),
+            "_a", "_b",
+        )
+    )
+    docs = cross.select(
+        "split_a", "split_b", F.explode(F.array("_a", "_b")).alias("_doc")
+    )
+    return docs.groupBy("split_a", "split_b").agg(
+        (F.count(F.lit(1)) / 2).cast("long").alias("n_pairs"),
+        F.countDistinct("_doc").alias("n_docs"),
+    )

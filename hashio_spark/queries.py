@@ -2579,12 +2579,9 @@ def split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     [0,1)); the audit aggregate is what a pipeline asserts before
     training.  Pure per-row expr + one hash-aggregate."""
     d = _t(spark, sf_dir, "documents")
-    from hashio_spark.operators.sampling import hash_uniform
+    from hashio_spark.operators.sampling import split_expr
 
-    u = hash_uniform("doc_id", method="md5")
-    split = (
-        F.when(u < 0.8, F.lit("train")).when(u < 0.9, F.lit("valid")).otherwise(F.lit("test"))
-    )
+    split = split_expr(F.col("doc_id"), method="md5")
     return (
         d.select("lang", split.alias("split"), "n_chars")
         .groupBy("lang", "split")
@@ -2771,3 +2768,88 @@ WHERE round(cast(len(list_intersect(st.sh, sb.sh)) AS double)
 
 
 REGISTRY["crosscorpus_neardup"] = (crosscorpus_neardup_q, CROSSCORPUS_NEARDUP_SQL)
+
+
+def split_leakage_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup leakage across the train/valid/test boundary
+    (operators/sampling.split_leakage over the LSH candidate pairs):
+    pairs whose endpoints land in different splits are eval contamination
+    that per-split dedupe cannot catch.  The split label is a pure
+    function of doc_id (same md5 hash gate as :func:`split_assign`), so
+    the audit NEVER joins the corpus — a per-row projection on the pair
+    table plus one hash-aggregate, regardless of corpus size."""
+    from hashio_spark.caching import track
+    from hashio_spark.operators.sampling import split_leakage
+
+    pairs = dedupe_minhash_lsh(spark, sf_dir)
+    out = split_leakage(pairs, method="md5").orderBy("split_a", "split_b")
+    return track(out, *getattr(pairs, "_hashio_persisted", ()))
+
+
+def _split_case_sql(col: str) -> str:
+    u = (
+        f"((CAST(concat('0x', substr(md5(concat(CAST({col} AS VARCHAR), 's42')), 1, 15)) AS BIGINT)"
+        " % 1000000) / 1000000.0)"
+    )
+    return f"CASE WHEN {u} < 0.8 THEN 'train' WHEN {u} < 0.9 THEN 'valid' ELSE 'test' END"
+
+
+SPLIT_LEAKAGE_SQL = f"""
+WITH pairs AS ({DEDUPE_MINHASH_LSH_SQL}),
+lab AS (
+  SELECT doc_a, doc_b,
+    {_split_case_sql('doc_a')} AS sa,
+    {_split_case_sql('doc_b')} AS sb
+  FROM pairs
+), cross_pairs AS (
+  SELECT least(sa, sb) AS split_a, greatest(sa, sb) AS split_b, doc_a, doc_b
+  FROM lab WHERE sa <> sb
+), docs AS (
+  SELECT split_a, split_b, unnest([doc_a, doc_b]) AS doc FROM cross_pairs
+)
+SELECT split_a, split_b,
+  CAST(count(*) / 2 AS BIGINT) AS n_pairs,
+  count(DISTINCT doc) AS n_docs
+FROM docs GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+REGISTRY["split_leakage"] = (split_leakage_q, SPLIT_LEAKAGE_SQL)
+
+
+def ingest_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest gate (operators/dedupe.ingest_gate): docs from
+    source 'src0' stand in for the already-ingested manifest digests;
+    the rest are the incoming batch.  Output = incoming docs that are
+    (a) content-new vs the seen set (digest anti-join) and (b) first of
+    their digest within the batch (min doc_id) — what a crawler re-run
+    actually appends.  The batch-internal winner window shares the
+    anti-join's digest partitioning, so the incoming side shuffles
+    ONCE regardless of corpus size."""
+    from hashio_spark.operators.dedupe import ingest_gate
+
+    d = _t(spark, sf_dir, "documents")
+    dig = F.md5(F.col("text").cast("binary"))
+    seen = d.filter(F.col("source") == "src0").select(dig.alias("digest"))
+    incoming = d.filter(F.col("source") != "src0").select("doc_id", dig.alias("digest"))
+    return ingest_gate(incoming, seen, digest_col="digest", key_col="doc_id").select(
+        "doc_id", "digest"
+    )
+
+
+INGEST_GATE_SQL = """
+WITH seen AS (
+  SELECT md5(text) AS digest FROM documents WHERE source = 'src0'
+), incoming AS (
+  SELECT doc_id, md5(text) AS digest FROM documents WHERE source <> 'src0'
+), new_rows AS (
+  SELECT i.doc_id, i.digest FROM incoming i ANTI JOIN seen s USING (digest)
+), ranked AS (
+  SELECT doc_id, digest, row_number() OVER (PARTITION BY digest ORDER BY doc_id) AS rn
+  FROM new_rows
+)
+SELECT doc_id, digest FROM ranked WHERE rn = 1
+"""
+
+
+REGISTRY["ingest_gate"] = (ingest_gate_q, INGEST_GATE_SQL)

@@ -318,3 +318,29 @@ def test_ivf_centroids_hash_sample_covers_clusters(spark):
     out = S.ivf_topk(emb, q, "vec_id", "embedding", k=3, n_list=9, n_probe=1,
                      centroids=cents).collect()
     assert out and all(60 <= r["neighbor_id"] < 90 for r in out)
+
+
+def test_ingest_gate_drops_seen_and_batch_dupes(spark):
+    from hashio_spark.operators.dedupe import ingest_gate
+
+    seen = spark.createDataFrame([("d1",)], "digest string")
+    incoming = spark.createDataFrame(
+        [(10, "d1"), (11, "d2"), (12, "d2"), (13, "d3")],
+        "doc_id long, digest string",
+    )
+    got = sorted(
+        (r.doc_id, r.digest)
+        for r in ingest_gate(incoming, seen, key_col="doc_id").collect()
+    )
+    # d1 already ingested; d2 keeps its min-key row only; d3 is new
+    assert got == [(11, "d2"), (13, "d3")]
+
+
+def test_ingest_gate_without_key_keeps_batch_dupes(spark):
+    from hashio_spark.operators.dedupe import ingest_gate
+
+    seen = spark.createDataFrame([("d1",)], "digest string")
+    incoming = spark.createDataFrame(
+        [(11, "d2"), (12, "d2")], "doc_id long, digest string"
+    )
+    assert ingest_gate(incoming, seen).count() == 2

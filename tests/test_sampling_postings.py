@@ -144,3 +144,40 @@ def test_crosscorpus_neardup_band_cap_drops_degenerate_bucket(spark):
     assert crosscorpus_neardup(train, bench, max_band_size=10).count() == 0
     # with a permissive cap all 30 match
     assert crosscorpus_neardup(train, bench, max_band_size=64).count() == 30
+
+
+def test_split_leakage_matches_python_model(spark):
+    from hashio_spark.operators.sampling import split_leakage
+
+    pair_rows = [(a, a + 50) for a in range(1, 21)]
+    pairs = spark.createDataFrame(pair_rows, "doc_a long, doc_b long")
+
+    def lab(k):
+        u = _md5_uniform(k)
+        return "train" if u < 0.8 else ("valid" if u < 0.9 else "test")
+
+    expected = {}
+    for a, b in pair_rows:
+        sa, sb = lab(a), lab(b)
+        if sa == sb:
+            continue
+        key = tuple(sorted((sa, sb)))
+        n_pairs, docs = expected.get(key, (0, set()))
+        expected[key] = (n_pairs + 1, docs | {a, b})
+    got = {
+        (r.split_a, r.split_b): (r.n_pairs, r.n_docs)
+        for r in split_leakage(pairs, method="md5").collect()
+    }
+    assert got == {k: (n, len(d)) for k, (n, d) in expected.items()}
+    assert expected, "fixture must actually produce cross-split pairs"
+
+
+def test_split_leakage_same_split_pairs_are_silent(spark):
+    from hashio_spark.operators.sampling import split_leakage
+
+    # pick keys that all hash into 'train' under the md5 gate
+    train_keys = [k for k in range(1, 200) if _md5_uniform(k) < 0.8][:10]
+    pairs = spark.createDataFrame(
+        list(zip(train_keys[:5], train_keys[5:])), "doc_a long, doc_b long"
+    )
+    assert split_leakage(pairs, method="md5").count() == 0

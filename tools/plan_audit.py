@@ -441,6 +441,32 @@ def main() -> None:
     sections.append(("crosscorpus_neardup (bipartite LSH, benchmark broadcast, semi-join-gated band sizes)", p, notes))
     release(q)
 
+    # 28. ingest gate: digest anti-join (broadcast here; co-partitioned
+    # shuffle at scale) + batch-internal winner — WindowGroupLimit must
+    # pre-filter top-1-per-digest map-side BEFORE the window exchange
+    q = REGISTRY["ingest_gate"][0](spark, SF)
+    p = plan_of(q)
+    notes = check(
+        "ingest_gate", p,
+        must=[r"LeftAnti", r"WindowGroupLimit", r"PushedFilters: \[IsNotNull\(source\)"],
+        must_not=[r"BatchEvalPython", r"Exchange SinglePartition",
+                  r"CartesianProduct", r"SortAggregate"],
+    )
+    sections.append(("ingest_gate (digest anti-join + map-side-limited batch winner)", p, notes))
+
+    # 29. split leakage: split labels are pure key functions computed ON
+    # the pair table — no join back to the documents corpus, no python
+    q = REGISTRY["split_leakage"][0](spark, SF)
+    p = plan_of(q)
+    notes = check(
+        "split_leakage", p,
+        must=[r"HashAggregate", r"Generate"],
+        must_not=[r"BatchEvalPython", r"Exchange SinglePartition",
+                  r"CartesianProduct", r"SortMergeJoin"],
+    )
+    sections.append(("split_leakage (key-function split labels on the pair table, zero corpus joins)", p, notes))
+    release(q)
+
     with open("PLANS.md", "w") as f:
         f.write("# PLANS — physical-plan audit (auto-generated by tools/plan_audit.py)\n\n")
         f.write("Checked properties per plan; full `.explain('formatted')` output below.\n\n")
