@@ -78,6 +78,7 @@ BENCH_QUERIES = [
     "sample_cap_per_group",
     "numeric_quantiles",
     "tfidf_top_terms",
+    "vocab_coverage",
     "retention_cohorts",
     "corr_by_segment",
     "cluster_representatives",

@@ -120,3 +120,60 @@ def term_postings(
         ).alias("postings")
     )
     return counts.join(posts, "term")
+
+
+def vocab_coverage(
+    docs: DataFrame,
+    text_col: str = "text",
+    ks: tuple[int, ...] = (10, 100, 1000),
+) -> DataFrame:
+    """Token coverage of a top-k frequency vocabulary — the
+    tokenizer-design question: "how much of the corpus do the k most
+    frequent tokens cover?"  One row per k: (k, covered_tokens,
+    total_tokens, coverage, vocab_size), ranking ties broken by token
+    text so the cut is deterministic across engines.
+
+    Scale shape (10^12 tokens, vocab V ~ 10^7-10^8 types):
+    * ONE token hash-aggregate (map-side partials absorb the Zipf skew:
+      each mapper pre-sums its own 'the's, so the shuffle carries V
+      rows per mapper at most, not the corpus);
+    * the top-k cut is TakeOrderedAndProject (per-partition heap of k,
+      driver merge of #partitions × k rows) — V is NEVER globally
+      sorted;
+    * the per-k rank window then runs over max(ks) rows, not V — the
+      one SinglePartition exchange in the plan carries ≤ max(ks) rows
+      by construction."""
+    spark = docs.sparkSession
+    max_k = max(ks)
+    toks = docs.select(
+        F.explode(F.split(F.col(text_col), r"\s+")).alias("token")
+    ).filter(F.col("token") != "")
+    # counts feeds BOTH the totals and the top-k cut; persisted so the
+    # corpus-wide tokenize+aggregate runs once (V rows, narrow) — caller
+    # releases via hashio_spark.caching.release
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n")).persist()
+    tot = counts.agg(
+        F.sum("n").alias("total_tokens"), F.count(F.lit(1)).alias("vocab_size")
+    )
+    topk = counts.orderBy(F.desc("n"), F.asc("token")).limit(max_k)
+    ranked = topk.withColumn(
+        "_rk", F.row_number().over(Window.orderBy(F.desc("n"), F.asc("token")))
+    )
+    ks_df = spark.createDataFrame([(int(k),) for k in sorted(set(ks))], "k int")
+    cov = (
+        ranked.join(F.broadcast(ks_df), ranked["_rk"] <= ks_df["k"])
+        .groupBy("k")
+        .agg(F.sum("n").alias("covered_tokens"))
+    )
+    out = cov.crossJoin(F.broadcast(tot)).select(
+        "k",
+        "covered_tokens",
+        "total_tokens",
+        F.round(
+            F.col("covered_tokens").cast("double") / F.col("total_tokens").cast("double"), 6
+        ).alias("coverage"),
+        "vocab_size",
+    )
+    from hashio_spark.caching import track
+
+    return track(out, counts)

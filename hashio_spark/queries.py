@@ -2853,3 +2853,41 @@ SELECT doc_id, digest FROM ranked WHERE rn = 1
 
 
 REGISTRY["ingest_gate"] = (ingest_gate_q, INGEST_GATE_SQL)
+
+
+def vocab_coverage_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k vocabulary token coverage (operators/terms.vocab_coverage):
+    one token hash-agg (map-side partials absorb Zipf skew), a
+    TakeOrderedAndProject top-k cut — the vocabulary is never globally
+    sorted — and a rank window over only max(k) rows."""
+    from hashio_spark.operators.terms import vocab_coverage
+
+    d = _t(spark, sf_dir, "documents")
+    return vocab_coverage(d, "text", ks=(5, 20, 50))
+
+
+VOCAB_COVERAGE_SQL = r"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(text, '\s+')) AS token FROM documents
+), t2 AS (
+  SELECT token FROM toks WHERE token <> ''
+), counts AS (
+  SELECT token, count(*) AS n FROM t2 GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS total_tokens, count(*) AS vocab_size FROM counts
+), ranked AS (
+  SELECT n, row_number() OVER (ORDER BY n DESC, token) AS rk FROM counts
+), ks AS (
+  SELECT unnest([5, 20, 50]) AS k
+), cov AS (
+  SELECT ks.k, CAST(sum(ranked.n) AS BIGINT) AS covered_tokens
+  FROM ks JOIN ranked ON ranked.rk <= ks.k GROUP BY 1
+)
+SELECT k, covered_tokens, total_tokens,
+  round(CAST(covered_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE), 6) AS coverage,
+  vocab_size
+FROM cov CROSS JOIN tot
+"""
+
+
+REGISTRY["vocab_coverage"] = (vocab_coverage_q, VOCAB_COVERAGE_SQL)

@@ -73,3 +73,27 @@ def test_exact_group_corr_matches_model_and_partitioning(spark, n_parts):
         # exact integer sums -> the double formula is bit-identical to the
         # python model regardless of Spark partitioning
         assert got[g][1] == model(pts), g
+
+
+def test_vocab_coverage_hand_case(spark):
+    from hashio_spark.operators.terms import vocab_coverage
+
+    # corpus: 'a'x5, 'b'x3, 'c'x1, 'd'x1  (total 10 tokens, 4 types)
+    docs = spark.createDataFrame(
+        [(1, "a a a b b"), (2, "a a b c d")], "doc_id long, text string"
+    )
+    got = {r.k: r for r in vocab_coverage(docs, "text", ks=(1, 2, 10)).collect()}
+    assert got[1].covered_tokens == 5 and got[1].coverage == 0.5
+    assert got[2].covered_tokens == 8 and got[2].coverage == 0.8
+    # k beyond the vocabulary covers everything
+    assert got[10].covered_tokens == 10 and got[10].coverage == 1.0
+    assert all(r.total_tokens == 10 and r.vocab_size == 4 for r in got.values())
+
+
+def test_vocab_coverage_tie_break_is_lexical(spark):
+    from hashio_spark.operators.terms import vocab_coverage
+
+    # 'x' and 'y' tie at 2; k=1 must deterministically pick 'x' (lexical)
+    docs = spark.createDataFrame([(1, "x y x y")], "doc_id long, text string")
+    row = vocab_coverage(docs, "text", ks=(1,)).collect()[0]
+    assert row.covered_tokens == 2 and row.coverage == 0.5

@@ -467,6 +467,21 @@ def main() -> None:
     sections.append(("split_leakage (key-function split labels on the pair table, zero corpus joins)", p, notes))
     release(q)
 
+    # 30. vocab coverage: ONE token hash-agg (persisted; feeds totals +
+    # top-k), TakeOrderedAndProject cut — the vocabulary is never
+    # globally sorted, and the rank window runs over <= max(k) rows
+    q = REGISTRY["vocab_coverage"][0](spark, SF)
+    p = plan_of(q)
+    notes = check(
+        "vocab_coverage", p,
+        must=[r"TakeOrderedAndProject", r"HashAggregate"],
+        must_not=[r"BatchEvalPython", r"SortAggregate",
+                  r"Exchange SinglePartition", r"CartesianProduct",
+                  r"SortMergeJoin"],
+    )
+    sections.append(("vocab_coverage (single token agg, TakeOrdered top-k cut, bounded rank window)", p, notes))
+    release(q)
+
     with open("PLANS.md", "w") as f:
         f.write("# PLANS — physical-plan audit (auto-generated by tools/plan_audit.py)\n\n")
         f.write("Checked properties per plan; full `.explain('formatted')` output below.\n\n")
