@@ -85,3 +85,76 @@ def violation_rate_stream(stream_docs: DataFrame, ts_col: str = "ts", window: st
             F.sum(bad.cast("long")).alias("violating_docs"),
         )
     )
+
+
+def dedupe_gate_sink(
+    out_dir: str,
+    seen_dir: str,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    algo: str = "xxh64",
+    digest_col: str = "digest",
+):
+    """foreachBatch function: the streaming form of
+    ``operators/dedupe.ingest_gate`` — drop micro-batch rows whose
+    content digest was ingested by ANY PRIOR epoch, dedupe the batch
+    internally, land the survivors, and append their digests to the
+    seen-set table.
+
+    Exactly-once on re-delivery without a transactional store: both the
+    survivor rows and their digests are written by **overwriting the
+    epoch's own partition** (``.../epoch=N``), and the seen-set read
+    excludes the current epoch — so a retried epoch re-gates against
+    exactly the pre-epoch state and overwrites its previous partial
+    output instead of double-appending (the same idempotency argument
+    as the manifest store's keyed merge).
+
+    Scale: the seen set grows monotonically; the anti-join keys both
+    sides on the digest (AQE broadcast / runtime bloom filter / shuffle
+    join as sizes dictate — see the batch operator's docstring).
+    """
+    from pyspark.errors import AnalysisException
+
+    from hashio_spark.functions.digests import digest_expr
+    from hashio_spark.operators.dedupe import ingest_gate
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if not batch_df.head(1):
+            return
+        spark = batch_df.sparkSession
+        batch = batch_df.withColumn(digest_col, digest_expr(text_col, algo))
+        try:
+            seen = (
+                spark.read.option("basePath", seen_dir)
+                .parquet(seen_dir)
+                .filter(F.col("epoch") < F.lit(int(epoch_id)))
+                .select(digest_col)
+            )
+        except AnalysisException:  # first epoch: no seen-set yet
+            seen = spark.createDataFrame([], f"{digest_col} string")
+        fresh = ingest_gate(batch, seen, digest_col=digest_col, key_col=key_col)
+        fresh.persist()
+        fresh.write.mode("overwrite").parquet(f"{out_dir}/epoch={int(epoch_id)}")
+        fresh.select(digest_col).write.mode("overwrite").parquet(
+            f"{seen_dir}/epoch={int(epoch_id)}"
+        )
+        fresh.unpersist()
+
+    return _sink
+
+
+def stream_dedupe_gate(
+    stream_docs: DataFrame,
+    out_dir: str,
+    seen_dir: str,
+    checkpoint_dir: str | None = None,
+    **gate_kwargs,
+):
+    """Wire a streaming documents DataFrame through the incremental
+    dedupe gate.  Returns the StreamingQuery."""
+    writer = stream_docs.writeStream.foreachBatch(
+        dedupe_gate_sink(out_dir, seen_dir, **gate_kwargs)
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.trigger(availableNow=True).start()

@@ -144,3 +144,56 @@ def test_stream_validation_with_sketches(spark, tmp_path):
     assert SKETCH_KEY in keys
     est = merged_distinct(m).first()["distinct_estimate"]
     assert abs(est - 400) / 400 < 0.05
+
+
+def test_dedupe_gate_sink_across_epochs_and_retry(spark, tmp_path):
+    from hashio_spark.streaming.incremental import dedupe_gate_sink
+
+    out = str(tmp_path / "out")
+    seen = str(tmp_path / "seen")
+    sink = dedupe_gate_sink(out, seen, algo="md5")
+
+    e0 = spark.createDataFrame(
+        [(1, "alpha"), (2, "alpha"), (3, "beta")], "doc_id long, text string"
+    )
+    sink(e0, 0)
+    got0 = {r.doc_id for r in spark.read.parquet(f"{out}/epoch=0").collect()}
+    assert got0 == {1, 3}  # batch-internal dupe (2) dropped
+
+    # epoch 1: one digest already seen, one new
+    e1 = spark.createDataFrame([(4, "beta"), (5, "gamma")], "doc_id long, text string")
+    sink(e1, 1)
+    got1 = {r.doc_id for r in spark.read.parquet(f"{out}/epoch=1").collect()}
+    assert got1 == {5}
+
+    # retried epoch 1 (re-delivery) must NOT be suppressed by its own
+    # digests and must overwrite, not double-append
+    sink(e1, 1)
+    got1r = [r.doc_id for r in spark.read.parquet(f"{out}/epoch=1").collect()]
+    assert got1r == [5]
+
+    # epoch 2 sees the union of prior epochs' digests
+    e2 = spark.createDataFrame([(6, "gamma"), (7, "delta")], "doc_id long, text string")
+    sink(e2, 2)
+    got2 = {r.doc_id for r in spark.read.parquet(f"{out}/epoch=2").collect()}
+    assert got2 == {7}
+
+
+def test_stream_dedupe_gate_availablenow(spark, tmp_path):
+    from hashio_spark.streaming.incremental import stream_dedupe_gate
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "y")], "doc_id long, text string"
+    ).write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = stream_dedupe_gate(
+        stream,
+        str(tmp_path / "sout"),
+        str(tmp_path / "sseen"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        algo="md5",
+    )
+    q.awaitTermination(120)
+    got = sorted(r.doc_id for r in spark.read.parquet(str(tmp_path / "sout")).collect())
+    assert got == [1, 3]
