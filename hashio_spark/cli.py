@@ -239,6 +239,58 @@ def cmd_pack(args) -> int:
     return 0
 
 
+def cmd_gate(args) -> int:
+    """Incremental ingest gate (operators/dedupe.ingest_gate): keep only
+    input docs whose content digest is new vs ``--seen`` (a parquet with
+    a digest column — e.g. a prior gate output or an exported manifest),
+    deduped within the batch, and write them out with their digests."""
+    from hashio_spark.functions.digests import digest_expr
+    from hashio_spark.operators.dedupe import ingest_gate
+
+    spark = _spark(args)
+    inputs = list(dict.fromkeys(args.input))
+    docs = spark.read.parquet(*inputs)
+    incoming = docs.withColumn(args.digest_col, digest_expr(args.text_col, args.algo))
+    if args.seen:
+        seen = spark.read.parquet(args.seen).select(args.digest_col)
+    else:
+        seen = spark.createDataFrame([], f"{args.digest_col} string")
+    kept = ingest_gate(incoming, seen, digest_col=args.digest_col, key_col=args.id_col)
+    kept.write.mode("overwrite").parquet(args.out)
+    n_in = docs.count()
+    n_kept = spark.read.parquet(args.out).count()
+    print(json.dumps({"input_docs": n_in, "kept": n_kept,
+                      "dropped": n_in - n_kept, "algo": args.algo, "out": args.out}))
+    return 0
+
+
+def cmd_leakage(args) -> int:
+    """Cross-split near-dup leakage audit (operators/sampling.
+    split_leakage over the xxhash64-tier LSH candidate pairs): one JSON
+    line per leaking split pair; exit 1 if any leakage was found (the
+    CI-gate convention: a clean corpus exits 0)."""
+    from hashio_spark.caching import release
+    from hashio_spark.operators.dedupe import lsh_candidate_pairs, minhash_signatures
+    from hashio_spark.operators.sampling import split_leakage
+
+    spark = _spark(args)
+    inputs = list(dict.fromkeys(args.input))
+    docs = spark.read.parquet(*inputs)
+    sig = minhash_signatures(docs, args.id_col, args.text_col,
+                             n_perm=args.n_perm, shingle_k=args.shingle_k)
+    cand = lsh_candidate_pairs(sig, n_bands=args.n_bands, n_perm=args.n_perm)
+    pairs = cand.selectExpr("key_a as doc_a", "key_b as doc_b")
+    report = split_leakage(pairs, seed=args.seed)
+    rows = report.orderBy("split_a", "split_b").collect()
+    release(cand)  # the tracked banding handle lives on the operator's own DF
+    for r in rows:
+        print(json.dumps({"split_a": r.split_a, "split_b": r.split_b,
+                          "n_pairs": r.n_pairs, "n_docs": r.n_docs}))
+    print(json.dumps({"leaking_split_pairs": len(rows),
+                      "leaked_pairs": sum(r.n_pairs for r in rows)}))
+    return 1 if rows else 0
+
+
 def cmd_migrate(args) -> int:
     """Re-layout a pre-partitioning legacy manifest store (reference
     ``--update-cache``, ``/root/reference/lib/hashio/cli.py:338-343``)."""
@@ -351,6 +403,26 @@ def main(argv: list[str] | None = None) -> int:
     ol.add_argument("--z-threshold", type=float, default=3.0)
     ol.add_argument("--algo", help="score one algo's rows (default: dedupe per partition)")
     ol.set_defaults(fn=cmd_outliers)
+
+    gt = sub.add_parser("gate", help="incremental ingest gate: keep docs content-new vs a seen-digest parquet")
+    gt.add_argument("--input", required=True, action="append")
+    gt.add_argument("--seen", help="parquet with a digest column (prior gate output / exported manifest); omit = keep all, deduped")
+    gt.add_argument("--out", required=True)
+    gt.add_argument("--algo", default="xxh64")
+    gt.add_argument("--id-col", default="doc_id")
+    gt.add_argument("--text-col", default="text")
+    gt.add_argument("--digest-col", default="digest")
+    gt.set_defaults(fn=cmd_gate)
+
+    lk = sub.add_parser("leakage", help="cross-split near-dup leakage audit over LSH candidate pairs (exit 1 if leaking)")
+    lk.add_argument("--input", required=True, action="append")
+    lk.add_argument("--id-col", default="doc_id")
+    lk.add_argument("--text-col", default="text")
+    lk.add_argument("--n-perm", type=int, default=16)
+    lk.add_argument("--n-bands", type=int, default=4)
+    lk.add_argument("--shingle-k", type=int, default=3)
+    lk.add_argument("--seed", default="s42")
+    lk.set_defaults(fn=cmd_leakage)
 
     mg = sub.add_parser("migrate", help="re-layout a legacy unpartitioned manifest store (--update-cache analog)")
     mg.add_argument("--manifest", required=True)

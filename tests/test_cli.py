@@ -219,3 +219,51 @@ def test_cli_pack_missing_columns_errors(spark, tmp_path, capsys):
     rc = main(["pack", "--input", src, "--out", str(tmp_path / "o")])
     assert rc == 2
     assert "text" in capsys.readouterr().err
+
+
+def test_cli_gate_roundtrip(spark, tmp_path, capsys):
+    """gate drops docs whose digest is in --seen plus batch-internal
+    dupes, and the output parquet is itself a valid --seen for the next
+    increment (chained gating)."""
+    batch1 = str(tmp_path / "b1.parquet")
+    spark.createDataFrame(
+        [(1, "alpha"), (2, "alpha"), (3, "beta")], "doc_id long, text string"
+    ).write.parquet(batch1)
+    out1 = str(tmp_path / "out1")
+    rc = main(["gate", "--input", batch1, "--out", out1, "--algo", "md5"])
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert (res["input_docs"], res["kept"], res["dropped"]) == (3, 2, 1)
+
+    batch2 = str(tmp_path / "b2.parquet")
+    spark.createDataFrame(
+        [(4, "beta"), (5, "gamma")], "doc_id long, text string"
+    ).write.parquet(batch2)
+    out2 = str(tmp_path / "out2")
+    rc = main(["gate", "--input", batch2, "--seen", out1, "--out", out2, "--algo", "md5"])
+    assert rc == 0
+    kept = [r.doc_id for r in spark.read.parquet(out2).collect()]
+    assert kept == [5]
+
+
+def test_cli_leakage_exit_codes(spark, tmp_path, capsys):
+    """leakage exits 1 with per-split JSON lines when near-dup pairs
+    cross split boundaries, 0 on a corpus with no candidate pairs."""
+    dup_text = "alpha beta gamma delta epsilon zeta eta theta"
+    leaky = str(tmp_path / "leaky.parquet")
+    # 40 identical docs spread over doc_ids -> some land in different splits
+    spark.createDataFrame(
+        [(i, dup_text) for i in range(40)], "doc_id long, text string"
+    ).write.parquet(leaky)
+    rc = main(["leakage", "--input", leaky])
+    lines = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    assert rc == 1
+    assert lines[-1]["leaked_pairs"] > 0 and lines[-1]["leaking_split_pairs"] >= 1
+    assert all({"split_a", "split_b", "n_pairs", "n_docs"} <= set(l) for l in lines[:-1])
+
+    clean = str(tmp_path / "clean.parquet")
+    texts = [(i, f"unique{i} totally different words here number {i} end") for i in range(10)]
+    spark.createDataFrame(texts, "doc_id long, text string").write.parquet(clean)
+    rc = main(["leakage", "--input", clean])
+    assert rc == 0
+    assert json.loads(capsys.readouterr().out.strip().splitlines()[-1])["leaked_pairs"] == 0
