@@ -170,6 +170,26 @@ def cmd_drift(args) -> int:
     return 0
 
 
+def cmd_trend(args) -> int:
+    """Drift trend across the store's run history (consecutive-pair PSI
+    series from stored histograms — manifest-sized work, the corpus is
+    never rescanned)."""
+    from hashio_spark.operators.drift import drift_timeseries
+    from hashio_spark.sources.manifest_store import ManifestStore
+
+    spark = _spark(args)
+    store = ManifestStore(spark, args.manifest)
+    rows = drift_timeseries(store, runs=args.run_id or None,
+                            threshold=args.threshold).collect()
+    for r in rows:
+        print(json.dumps({"run_a": r.run_a, "run_b": r.run_b,
+                          "n_partitions": r.n_partitions, "n_drifted": r.n_drifted,
+                          "max_psi": r.max_psi, "mean_psi": r.mean_psi}))
+    print(json.dumps({"pairs": len(rows),
+                      "drifted_pairs": sum(1 for r in rows if r.n_drifted)}))
+    return 0
+
+
 def cmd_distinct(args) -> int:
     """Distinct doc_id estimate from stored manifest HLL sketches
     (written by ``validate --sketches``) — manifest-sized work, the
@@ -379,6 +399,13 @@ def main(argv: list[str] | None = None) -> int:
     dft.add_argument("--other-run", required=True)
     dft.add_argument("--threshold", type=float, default=0.25)
     dft.set_defaults(fn=cmd_drift)
+
+    tr = sub.add_parser("trend", help="consecutive-pair drift series across the store's run history")
+    tr.add_argument("--manifest", required=True)
+    tr.add_argument("--run-id", action="append",
+                    help="explicit run order (repeatable); default: all runs by updated_at")
+    tr.add_argument("--threshold", type=float, default=0.25)
+    tr.set_defaults(fn=cmd_trend)
 
     pk = sub.add_parser("pack", help="pack documents into fixed token-budget training sequences")
     pk.add_argument("--input", required=True, action="append")

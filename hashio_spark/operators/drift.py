@@ -190,3 +190,59 @@ def manifest_drift(
         .filter(F.col("psi").isNotNull())
         .withColumn("drifted", F.col("psi") > threshold)
     )
+
+
+def drift_timeseries(
+    store,
+    runs: list[str] | None = None,
+    hist_key: str = "quality_hist",
+    threshold: float = 0.25,
+) -> DataFrame:
+    """Drift TREND across a store's run history: per consecutive run
+    pair, the count of drifted partitions and the max/mean PSI — the
+    monitoring view that turns :func:`manifest_drift`'s pairwise check
+    into a time series (is the corpus drifting steadily, or did one
+    ingest batch jump?).
+
+    ``runs`` defaults to the store's runs ordered by their max
+    ``updated_at`` (ingest order, not lexical run-id order).  All work is
+    manifest-sized — the document corpus is never read; at 10^12 docs the
+    manifest is O(runs × partitions) rows, and the consecutive-pair PSI
+    reuses :func:`manifest_drift`'s null/width guards.
+
+    Returns (run_a, run_b, n_partitions, n_drifted, max_psi, mean_psi)
+    with one row per consecutive pair, in chronological order."""
+    if runs is None:
+        ordered = (
+            store.read()
+            .groupBy("run_id")
+            .agg(F.max("updated_at").alias("_t"))
+            .orderBy("_t", "run_id")
+            .collect()
+        )
+        runs = [r.run_id for r in ordered]
+    frames = []
+    for run_a, run_b in zip(runs, runs[1:]):
+        d = manifest_drift(store, run_a, run_b, hist_key=hist_key, threshold=threshold)
+        frames.append(
+            d.agg(
+                F.count(F.lit(1)).alias("n_partitions"),
+                F.sum(F.col("drifted").cast("long")).alias("n_drifted"),
+                F.round(F.max("psi"), 6).alias("max_psi"),
+                F.round(F.avg("psi"), 6).alias("mean_psi"),
+            ).select(
+                F.lit(run_a).alias("run_a"), F.lit(run_b).alias("run_b"),
+                "n_partitions", "n_drifted", "max_psi", "mean_psi",
+            )
+        )
+    if not frames:
+        spark = store.spark
+        return spark.createDataFrame(
+            [],
+            "run_a string, run_b string, n_partitions long, n_drifted long, "
+            "max_psi double, mean_psi double",
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out

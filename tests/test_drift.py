@@ -108,3 +108,55 @@ def test_manifest_drift_mismatched_bucket_counts_dropped(spark, tmp_path):
     out = manifest_drift(store, "a", "b").collect()
     assert [r["partition_id"] for r in out] == [1]
     assert all(r["psi"] is not None and r["drifted"] is not None for r in out)
+
+
+def test_drift_timeseries_orders_by_ingest_and_flags_the_jump(spark, docs, catalog, tmp_path):
+    """Three stored runs (base -> same -> shifted): the series has two
+    consecutive pairs in updated_at order; the first is quiet, the jump
+    shows up only in the second."""
+    from hashio_spark.operators.drift import drift_timeseries
+    from hashio_spark.plans.validate import manifest_rows, validate
+    from hashio_spark.sources.manifest_store import ManifestStore
+
+    store = ManifestStore(spark, str(tmp_path / "dts"))
+    store.merge(manifest_rows(validate(docs, catalog), "base", "md5"))
+    store.merge(manifest_rows(validate(docs, catalog), "same", "md5"))
+    shifted = docs.withColumn("quality", F.col("quality") / 2 + 0.5)
+    store.merge(manifest_rows(validate(shifted, catalog), "shifted", "md5"))
+
+    rows = drift_timeseries(store).collect()
+    assert [(r.run_a, r.run_b) for r in rows] == [("base", "same"), ("same", "shifted")]
+    quiet, jump = rows
+    assert quiet.n_drifted == 0 and abs(quiet.max_psi) < 1e-6
+    assert jump.n_drifted == 8 and jump.max_psi > 0.25
+    assert all(r.n_partitions == 8 for r in rows)
+
+
+def test_drift_timeseries_single_run_is_empty(spark, docs, catalog, tmp_path):
+    from hashio_spark.operators.drift import drift_timeseries
+    from hashio_spark.plans.validate import manifest_rows, validate
+    from hashio_spark.sources.manifest_store import ManifestStore
+
+    store = ManifestStore(spark, str(tmp_path / "dt1"))
+    store.merge(manifest_rows(validate(docs, catalog), "only", "md5"))
+    out = drift_timeseries(store)
+    assert out.count() == 0
+    assert out.columns == ["run_a", "run_b", "n_partitions", "n_drifted", "max_psi", "mean_psi"]
+
+
+def test_cli_trend_subcommand(spark, docs, catalog, tmp_path, capsys):
+    from hashio_spark.cli import main
+    from hashio_spark.plans.validate import manifest_rows, validate
+    from hashio_spark.sources.manifest_store import ManifestStore
+
+    import json as _json
+
+    store = ManifestStore(spark, str(tmp_path / "dtc"))
+    store.merge(manifest_rows(validate(docs, catalog), "r1", "md5"))
+    shifted = docs.withColumn("quality", F.col("quality") / 2 + 0.5)
+    store.merge(manifest_rows(validate(shifted, catalog), "r2", "md5"))
+    rc = main(["trend", "--manifest", str(tmp_path / "dtc")])
+    assert rc == 0
+    out = [_json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    assert out[-1] == {"pairs": 1, "drifted_pairs": 1}
+    assert (out[0]["run_a"], out[0]["run_b"], out[0]["n_drifted"]) == ("r1", "r2", 8)

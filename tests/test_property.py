@@ -186,3 +186,54 @@ def test_pack_sequences_matches_python_model(spark, tokens, budget, n_shards):
         pos[(shard, c // budget)] = p
         assert r["pos"] == p
         cum[shard] = c + tokens[doc_id]
+
+
+# -- ingest-gate algebra (the laws that make incremental ingest safe) ---
+
+_gate_texts = st.lists(
+    st.text(alphabet=list("abc "), min_size=0, max_size=6), min_size=1, max_size=25
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(_gate_texts, st.lists(st.text(alphabet=list("abc "), max_size=6), max_size=8))
+def test_ingest_gate_idempotent_and_composable(spark, texts, seen_texts):
+    """gate(gate(X, S), S) == gate(X, S)  (idempotency: a re-run of the
+    same increment adds nothing) and chaining equals a union seen-set:
+    gate(X, A ∪ out-digests) == ∅ when X was already gated through A —
+    exactly the invariant the streaming sink and CLI chaining rely on."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from hashio_spark.operators.dedupe import ingest_gate
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    inc = spark.createDataFrame(rows, "doc_id long, text string").select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("digest")
+    )
+    seen = spark.createDataFrame(
+        [(hashlib.md5(t.encode()).hexdigest(),) for t in seen_texts] or [("-",)],
+        "digest string",
+    )
+    once = ingest_gate(inc, seen, key_col="doc_id")
+    got = sorted((r.doc_id, r.digest) for r in once.collect())
+
+    # python model: first doc_id per unseen digest
+    seen_set = {hashlib.md5(t.encode()).hexdigest() for t in seen_texts}
+    model, used = [], set()
+    for i, t in rows:
+        d = hashlib.md5(t.encode()).hexdigest()
+        if d in seen_set or d in used:
+            continue
+        used.add(d)
+        model.append((i, d))
+    assert got == sorted(model)
+
+    # idempotency: re-gating the output against the same seen set is a no-op
+    again = ingest_gate(once, seen, key_col="doc_id")
+    assert sorted((r.doc_id, r.digest) for r in again.collect()) == got
+
+    # composition: gating the batch against seen ∪ output digests yields nothing
+    combined = seen.unionByName(once.select("digest"))
+    assert ingest_gate(inc, combined, key_col="doc_id").count() == 0
