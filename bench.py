@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     "ingest_gate",
     "split_leakage",
     "repetition_stats",
+    "duplicate_ngrams",
     "sample_stratified",
     "sample_cap_per_group",
     "numeric_quantiles",

@@ -281,6 +281,60 @@ def embedding_neardup_pairs(emb: DataFrame, key_col: str, vec_col: str, threshol
     )
 
 
+def duplicate_ngrams(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    min_docs: int = 2,
+    hashed: bool = False,
+) -> DataFrame:
+    """Cross-document duplicated n-gram spans: (gram, n_docs,
+    n_occurrences) for every k-token span appearing in ≥ ``min_docs``
+    DISTINCT documents — the exact-substring duplication signal used to
+    dedupe LLM training corpora at span (not document) granularity
+    (boilerplate headers, license blocks, templated sentences survive
+    whole-document dedup but surface here).  Extends the reference's
+    identical-content dedupe (`/root/reference/lib/hashio/encoder.py:463`)
+    from whole payloads to intra-document spans.
+
+    Scale shape (10^12 docs):
+    * shingling is a per-row projection over a staged tokenization (no
+      shuffle; the explode_outer form sidesteps the inferred-filter
+      recompute, BENCH.md finding #8);
+    * first aggregation keys (gram, doc) — map-side partial counts
+      collapse within-doc repeats before the shuffle, so shuffle volume
+      is bounded by DISTINCT grams per doc, not token count;
+    * second aggregation re-keys on gram alone; its input is already
+      one row per (gram, doc).  Both are HashAggregates with partials.
+    * ``hashed=True`` aggregates on ``xxhash64(gram)`` — 8-byte shuffle
+      keys instead of strings (the scale tier; collisions at 64 bits are
+      negligible against 10^12 × 50 grams ≈ 2^56 draws, and the output
+      then reports the hash, joinable back to one exemplar if needed).
+      ``hashed=False`` keeps raw span strings (oracle-parity tier).
+    """
+    toked = df.select(
+        F.col(key_col).alias("key"), F.split(F.col(text_col), r"\s+").alias("_toks")
+    )
+    from hashio_spark.functions.text import word_shingles_from_tokens
+
+    shingled = toked.select("key", word_shingles_from_tokens("_toks", k).alias("_sh"))
+    g = shingled.select("key", F.explode_outer("_sh").alias("gram")).filter(
+        F.col("gram").isNotNull()
+    )
+    if hashed:
+        g = g.select("key", F.xxhash64("gram").alias("gram"))
+    per_doc = g.groupBy("gram", "key").agg(F.count(F.lit(1)).alias("_cnt"))
+    return (
+        per_doc.groupBy("gram")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_cnt").alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
 def ingest_gate(
     incoming: DataFrame,
     seen: DataFrame,

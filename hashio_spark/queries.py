@@ -2891,3 +2891,37 @@ FROM cov CROSS JOIN tot
 
 
 REGISTRY["vocab_coverage"] = (vocab_coverage_q, VOCAB_COVERAGE_SQL)
+
+
+def duplicate_ngrams_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level duplication report: every 4-token span appearing in ≥2
+    distinct documents, with how many docs and total occurrences.  The
+    exact-substring dedup signal (boilerplate/license/template spans
+    that survive whole-document dedup); see
+    operators.dedupe.duplicate_ngrams for the 10^12-row shuffle shape.
+    The registered tier keys on raw span strings (oracle-replicable);
+    production uses hashed=True (8-byte xxhash64 shuffle keys)."""
+    from hashio_spark.operators.dedupe import duplicate_ngrams
+
+    d = _t(spark, sf_dir, "documents")
+    return duplicate_ngrams(d, "doc_id", "text", k=4, min_docs=2, hashed=False)
+
+
+DUPLICATE_NGRAMS_SQL = """
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+g AS (
+  SELECT doc_id,
+    unnest(list_transform(generate_series(1, greatest(len(t) - 3, 0)),
+                          i -> array_to_string(t[i:i+3], ' '))) AS gram
+  FROM tok
+), per_doc AS (
+  SELECT gram, doc_id, count(*) AS cnt FROM g GROUP BY gram, doc_id
+)
+SELECT gram,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(cnt) AS BIGINT) AS n_occurrences
+FROM per_doc GROUP BY gram HAVING count(*) >= 2
+"""
+
+
+REGISTRY["duplicate_ngrams"] = (duplicate_ngrams_q, DUPLICATE_NGRAMS_SQL)

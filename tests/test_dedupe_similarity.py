@@ -344,3 +344,26 @@ def test_ingest_gate_without_key_keeps_batch_dupes(spark):
         [(11, "d2"), (12, "d2")], "doc_id long, digest string"
     )
     assert ingest_gate(incoming, seen).count() == 2
+
+
+def test_duplicate_ngrams_span_detection(spark):
+    import pandas as pd
+
+    rows = [
+        # d1/d2 share the exact boilerplate span "all rights reserved by acme"
+        ("d1", "intro words all rights reserved by acme more text"),
+        ("d2", "different opening all rights reserved by acme trailing"),
+        ("d3", "no overlap here at all with anything else whatsoever"),
+        # d4 repeats a span twice WITHIN itself only -> excluded (1 doc)
+        ("d4", "spam spam spam spam spam spam spam spam"),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    out = {r["gram"]: r for r in D.duplicate_ngrams(df, k=4, min_docs=2).collect()}
+    # the shared 5-token boilerplate yields two overlapping 4-gram spans
+    assert set(out) == {"all rights reserved by", "rights reserved by acme"}
+    for g in out.values():
+        assert g["n_docs"] == 2 and g["n_occurrences"] == 2
+    # d4's within-doc repeats ARE counted once min_docs is met elsewhere:
+    hashed = D.duplicate_ngrams(df, k=4, min_docs=1, hashed=True)
+    row = [r for r in hashed.collect() if r["n_occurrences"] == 5]
+    assert len(row) == 1 and row[0]["n_docs"] == 1  # "spam spam spam spam" x5

@@ -482,6 +482,20 @@ def main() -> None:
     sections.append(("vocab_coverage (single token agg, TakeOrdered top-k cut, bounded rank window)", p, notes))
     release(q)
 
+    # 31. duplicate n-gram spans: two stacked HashAggregates — (gram, doc)
+    # partial-combines within-doc repeats map-side, then gram-only re-agg;
+    # no window, no join, no python in the span pipeline
+    q = REGISTRY["duplicate_ngrams"][0](spark, SF)
+    p = plan_of(q)
+    notes = check(
+        "duplicate_ngrams", p,
+        must=[r"HashAggregate", r"Generate"],
+        must_not=[r"BatchEvalPython", r"SortAggregate",
+                  r"Exchange SinglePartition", r"CartesianProduct",
+                  r"SortMergeJoin", r"Window"],
+    )
+    sections.append(("duplicate_ngrams (span dedup: stacked hash aggs, map-side within-doc combine)", p, notes))
+
     with open("PLANS.md", "w") as f:
         f.write("# PLANS — physical-plan audit (auto-generated by tools/plan_audit.py)\n\n")
         f.write("Checked properties per plan; full `.explain('formatted')` output below.\n\n")
