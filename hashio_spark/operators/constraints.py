@@ -63,13 +63,21 @@ def dangling_refs(
     Distinct refs are extracted per doc with array functions (no explode
     of text spans), then anti-joined against the catalog.
     """
+    # `spans.media_ref` via getField (GetArrayStructFields), NOT
+    # `transform(spans, s -> s.media_ref)`: NestedColumnAliasing prunes
+    # ExtractValue expressions but gives up on lambda-variable field
+    # access inside higher-order functions, so the transform form makes
+    # the parquet scan read the FULL span struct — every text payload —
+    # just to drop it (measured: a second full-width spans decode in the
+    # report plan).  With getField the scan's ReadSchema is
+    # spans:array<struct<media_ref:string>>.
     refs = docs.select(
         "doc_id",
         "partition_id",
         F.explode(
             F.array_distinct(
                 F.filter(
-                    F.transform(F.col("spans"), lambda s: s["media_ref"]),
+                    F.col("spans").getField("media_ref"),
                     lambda r: r.isNotNull(),
                 )
             )
