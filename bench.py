@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "jaccard_pairs_exact",
     "doc_fingerprint",
     "drift_psi_by_group",
+    "drift_trend",
     "verify_manifest",
     "dedupe_manifests",
     "snapshot_diff",

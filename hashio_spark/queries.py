@@ -2925,3 +2925,109 @@ FROM per_doc GROUP BY gram HAVING count(*) >= 2
 
 
 REGISTRY["duplicate_ngrams"] = (duplicate_ngrams_q, DUPLICATE_NGRAMS_SQL)
+
+
+def drift_trend_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drift TREND over a run history (operators.drift.drift_timeseries):
+    three synthetic 'runs' (full corpus; an ingest batch dropping every
+    7th doc; a batch dropping every 3rd doc whose length metric shifted
+    +80 chars) produce per-partition histogram STRINGS via the exact
+    manifest serialization (hist_string_agg), which the consecutive-pair
+    PSI then parses back through the stored-manifest path
+    (split → cast → psi_from_hist_pair) — the full round-trip the
+    manifest store's drift monitoring performs, minus the store I/O.
+    One trend row per consecutive pair."""
+    from hashio_spark.operators.drift import hist_string_agg, psi_from_hist_pair
+
+    d = _t(spark, sf_dir, "documents")
+    runs = [
+        ("r0", d.select("doc_id", F.col("n_chars").alias("_m"))),
+        ("r1", d.filter(F.col("doc_id") % 7 != 0).select("doc_id", F.col("n_chars").alias("_m"))),
+        ("r2", d.filter(F.col("doc_id") % 3 != 0).select("doc_id", (F.col("n_chars") + 80).alias("_m"))),
+    ]
+    hists = None
+    for name, df in runs:
+        h = (
+            df.select(F.pmod(F.col("doc_id"), F.lit(5)).cast("int").alias("partition_id"), "_m")
+            .groupBy("partition_id")
+            .agg(hist_string_agg("_m", 0.0, 600.0, 20).alias("hist"))
+            .select(F.lit(name).alias("run"), "partition_id", "hist")
+        )
+        hists = h if hists is None else hists.unionByName(h)
+    pairs = None
+    for run_a, run_b in (("r0", "r1"), ("r1", "r2")):
+        a = hists.filter(F.col("run") == run_a).select("partition_id", F.col("hist").alias("_sa"))
+        b = hists.filter(F.col("run") == run_b).select("partition_id", F.col("hist").alias("_sb"))
+        j = (
+            a.join(b, "partition_id")
+            .select(
+                "partition_id",
+                F.transform(F.split("_sa", ","), lambda x: x.cast("double")).alias("_ha"),
+                F.transform(F.split("_sb", ","), lambda x: x.cast("double")).alias("_hb"),
+            )
+            .select(
+                "partition_id", "_ha", "_hb",
+                F.aggregate(F.col("_ha"), F.lit(0.0), lambda acc, x: acc + x).alias("_ta"),
+                F.aggregate(F.col("_hb"), F.lit(0.0), lambda acc, x: acc + x).alias("_tb"),
+            )
+            .filter((F.col("_ta") > 0) & (F.col("_tb") > 0))
+            .select("partition_id", F.round(psi_from_hist_pair(), 6).alias("psi"))
+        )
+        t = j.agg(
+            F.count(F.lit(1)).alias("n_partitions"),
+            F.sum((F.col("psi") > 0.25).cast("long")).alias("n_drifted"),
+            F.round(F.max("psi"), 6).alias("max_psi"),
+            F.round(F.avg("psi"), 6).alias("mean_psi"),
+        ).select(
+            F.lit(run_a).alias("run_a"), F.lit(run_b).alias("run_b"),
+            "n_partitions", "n_drifted", "max_psi", "mean_psi",
+        )
+        pairs = t if pairs is None else pairs.unionByName(t)
+    return pairs
+
+
+DRIFT_TREND_SQL = """
+WITH base AS (
+  SELECT 'r0' AS run, doc_id % 5 AS partition_id,
+         least(19, greatest(0, cast(floor(n_chars / 600.0 * 20) AS int))) AS bucket
+  FROM documents
+  UNION ALL
+  SELECT 'r1', doc_id % 5, least(19, greatest(0, cast(floor(n_chars / 600.0 * 20) AS int)))
+  FROM documents WHERE doc_id % 7 <> 0
+  UNION ALL
+  SELECT 'r2', doc_id % 5, least(19, greatest(0, cast(floor((n_chars + 80) / 600.0 * 20) AS int)))
+  FROM documents WHERE doc_id % 3 <> 0
+), counts AS (
+  SELECT run, partition_id, bucket, count(*) AS cnt FROM base GROUP BY 1, 2, 3
+), spine AS (
+  SELECT r.run, p.partition_id, b.bucket
+  FROM (SELECT unnest(['r0','r1','r2']) AS run) r
+  CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS partition_id) p
+  CROSS JOIN (SELECT unnest(generate_series(0, 19)) AS bucket) b
+), h AS (
+  SELECT spine.run, spine.partition_id, spine.bucket, coalesce(counts.cnt, 0) AS cnt
+  FROM spine LEFT JOIN counts USING (run, partition_id, bucket)
+), tot AS (SELECT run, partition_id, sum(cnt) AS t FROM h GROUP BY 1, 2),
+pairs(run_a, run_b) AS (VALUES ('r0', 'r1'), ('r1', 'r2')),
+ppsi AS (
+  SELECT pr.run_a, pr.run_b, ha.partition_id,
+    round(sum((ha.cnt / ta.t + 1e-6 - (hb.cnt / tb.t + 1e-6))
+              * ln((ha.cnt / ta.t + 1e-6) / (hb.cnt / tb.t + 1e-6))), 6) AS psi
+  FROM pairs pr
+  JOIN h ha ON ha.run = pr.run_a
+  JOIN h hb ON hb.run = pr.run_b AND hb.partition_id = ha.partition_id AND hb.bucket = ha.bucket
+  JOIN tot ta ON ta.run = pr.run_a AND ta.partition_id = ha.partition_id
+  JOIN tot tb ON tb.run = pr.run_b AND tb.partition_id = ha.partition_id
+  WHERE ta.t > 0 AND tb.t > 0
+  GROUP BY 1, 2, 3
+)
+SELECT run_a, run_b,
+  CAST(count(*) AS BIGINT) AS n_partitions,
+  CAST(sum(CASE WHEN psi > 0.25 THEN 1 ELSE 0 END) AS BIGINT) AS n_drifted,
+  round(max(psi), 6) AS max_psi,
+  round(avg(psi), 6) AS mean_psi
+FROM ppsi GROUP BY 1, 2
+"""
+
+
+REGISTRY["drift_trend"] = (drift_trend_q, DRIFT_TREND_SQL)
