@@ -101,8 +101,15 @@ def null_text_spans(docs: DataFrame) -> DataFrame:
     Folds over a projected bool array — filtering the struct array itself
     would copy every span's text payload per row.
     """
+    # getField projections (not a transform lambda): NestedColumnAliasing
+    # prunes ExtractValue but not lambda field access, so this form reads
+    # ONLY spans.kind + spans.text from parquet (offset/media_ref skipped)
     bad = F.filter(
-        F.transform(F.col("spans"), lambda s: (s["kind"] == "text") & s["text"].isNull()),
+        F.zip_with(
+            F.col("spans").getField("kind"),
+            F.col("spans").getField("text"),
+            lambda k, t: (k == "text") & t.isNull(),
+        ),
         lambda b: b,
     )
     return _violations(
@@ -119,7 +126,8 @@ def offset_order(docs: DataFrame) -> DataFrame:
     the struct array would copy full span payloads — measured dominant at
     10^7 rows); O(spans) per row, no shuffle, no UDF.
     """
-    offs = F.transform(F.col("spans"), lambda s: s["offset"])
+    # getField, not transform: prunes the parquet scan to spans.offset
+    offs = F.col("spans").getField("offset")
     n_off = F.size(offs)
     bad_pairs = F.filter(
         F.zip_with(
