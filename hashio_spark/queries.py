@@ -3031,3 +3031,53 @@ FROM ppsi GROUP BY 1, 2
 
 
 REGISTRY["drift_trend"] = (drift_trend_q, DRIFT_TREND_SQL)
+
+
+def mixture_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-mixing weight solver (operators/mixing.mixture_weights):
+    pin English at a 25% target share, split the remaining mass uniformly
+    over the other languages, cap any upweight at 1.3× (the repetition
+    cap a real mix obeys).  ONE corpus hash-aggregate reading two
+    columns; everything downstream is strata-sized.  The de stratum's
+    target is unreachable under the cap → ``capped`` flags it and
+    ``effective_share`` reports the realized mix."""
+    from hashio_spark.operators.mixing import mixture_weights
+
+    d = _t(spark, sf_dir, "documents")
+    return mixture_weights(
+        d, "lang", "n_chars", targets={"en": 0.25}, cap=1.3
+    ).orderBy("stratum")
+
+
+MIXTURE_WEIGHTS_SQL = """
+WITH s AS (
+  SELECT lang AS stratum, count(*) AS n_rows,
+         CAST(sum(CAST(n_chars AS decimal(38,0))) AS BIGINT) AS total_size
+  FROM documents GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(CAST(total_size AS decimal(38,0))) AS BIGINT) AS grand,
+         count(*) AS n_strata,
+         sum(CASE WHEN stratum IN ('en') THEN 1 ELSE 0 END) AS n_targeted
+  FROM s
+), w AS (
+  SELECT stratum, n_rows, total_size,
+    CAST(total_size AS double) / CAST(grand AS double) AS actual,
+    CASE WHEN stratum = 'en' THEN CAST(0.25 AS double)
+         ELSE (CAST(1.0 AS double) - CAST(0.25 AS double))
+              / CAST(n_strata - n_targeted AS double) END AS target
+  FROM s CROSS JOIN tot
+), ww AS (
+  SELECT *, least(CAST(1.3 AS double), target / actual) AS wgt,
+    CAST(round(least(CAST(1.3 AS double), target / actual) * actual * 1000000) AS BIGINT)
+      AS wshare_u
+  FROM w
+), wt AS (SELECT CAST(sum(wshare_u) AS BIGINT) AS wtot FROM ww)
+SELECT stratum, n_rows, total_size,
+  round(actual, 6) AS actual_share, round(target, 6) AS target_share,
+  round(wgt, 6) AS weight, (wgt < target / actual) AS capped,
+  round(CAST(wshare_u AS double) / CAST(wtot AS double), 6) AS effective_share
+FROM ww CROSS JOIN wt ORDER BY stratum
+"""
+
+
+REGISTRY["mixture_weights"] = (mixture_weights_q, MIXTURE_WEIGHTS_SQL)
