@@ -3081,3 +3081,74 @@ FROM ww CROSS JOIN wt ORDER BY stratum
 
 
 REGISTRY["mixture_weights"] = (mixture_weights_q, MIXTURE_WEIGHTS_SQL)
+
+
+def compaction_plan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layout maintenance plan (operators/layout.compaction_plan): bin-pack
+    a manifest-shaped partition listing (one row per source/lang cell,
+    bytes = sum n_chars) into ~50 KB rewrite groups.  The corpus scan is
+    one hash-aggregate reading three columns; the planning window runs on
+    strata-sized rows only."""
+    from hashio_spark.operators.layout import compaction_plan
+
+    d = _t(spark, sf_dir, "documents")
+    parts = d.groupBy(
+        F.concat_ws("/", "source", "lang").alias("pkey")
+    ).agg(F.sum("n_chars").alias("bytes"))
+    return compaction_plan(parts, "pkey", "bytes", target_size=50_000).orderBy("pkey")
+
+
+COMPACTION_PLAN_SQL = """
+WITH parts AS (
+  SELECT source || '/' || lang AS pkey, sum(n_chars) AS bytes
+  FROM documents GROUP BY 1
+), cum AS (
+  SELECT pkey, bytes,
+    CAST(floor(coalesce(sum(bytes) OVER (ORDER BY pkey
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 50000.0) AS BIGINT)
+      AS file_group
+  FROM parts
+)
+SELECT pkey, bytes, file_group,
+  sum(bytes) OVER (PARTITION BY file_group) AS group_bytes,
+  count(*) OVER (PARTITION BY file_group) AS group_files
+FROM cum ORDER BY pkey
+"""
+
+
+REGISTRY["compaction_plan"] = (compaction_plan_q, COMPACTION_PLAN_SQL)
+
+
+def zorder_key_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering key (operators/layout.zvalue_expr): Morton-
+    interleave two 8-bit bucketed dimensions (doc_id mod 256, n_chars mod
+    256) into the single layout key the write is range-partitioned on.
+    Pure shift/mask arithmetic — whole-stage codegen, engine-portable."""
+    from hashio_spark.operators.layout import zvalue_expr
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        zvalue_expr(
+            F.pmod(F.col("doc_id"), F.lit(256)),
+            F.pmod(F.col("n_chars"), F.lit(256)),
+        ).alias("zval"),
+    ).orderBy("doc_id")
+
+
+def _zvalue_sql(a: str, b: str, bits: int = 8) -> str:
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({a} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({b} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+ZORDER_KEY_SQL = f"""
+SELECT doc_id,
+  {_zvalue_sql('(doc_id % 256)', '(n_chars % 256)')} AS zval
+FROM documents ORDER BY doc_id
+"""
+
+
+REGISTRY["zorder_key"] = (zorder_key_q, ZORDER_KEY_SQL)
