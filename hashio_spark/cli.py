@@ -213,6 +213,38 @@ def cmd_distinct(args) -> int:
     return 0
 
 
+def cmd_probe(args) -> int:
+    """Point-lookup gate from STORED bloom fingerprints: which (run,
+    partition) cells MIGHT hold each probed doc_id?  Manifest-sized work
+    — the corpus is never rescanned; a key with no hits was definitely
+    never validated (blooms have no false negatives)."""
+    from hashio_spark.operators.sketches import manifest_probe
+    from hashio_spark.sources.manifest_store import ManifestStore
+
+    spark = _spark(args)
+    store = ManifestStore(spark, args.manifest)
+    m = store.read()
+    if args.run_id:
+        m = m.filter(F.col("run_id").isin(args.run_id))
+    probes = spark.createDataFrame([(k,) for k in args.key], "doc_id string")
+    hits = manifest_probe(m, probes).collect()
+    if not hits and m.filter(
+        F.map_contains_key(F.col("stats"), F.lit("doc_id_bloom"))
+    ).isEmpty():
+        print(json.dumps({"error": "no bloom-bearing manifest rows",
+                          "hint": "write runs with: validate --sketches"}))
+        return 1
+    by_key: dict[str, list[str]] = {k: [] for k in args.key}
+    for r in hits:
+        by_key[r["doc_id"]].append(f"{r['run_id']}/{r['partition_id']}")
+    for k, cells in sorted(by_key.items()):
+        status = "maybe-present" if cells else "definitely-absent"
+        print(f"{k}\t{status}\t{','.join(sorted(cells))}")
+    print(json.dumps({"probed": len(args.key),
+                      "maybe_present": sum(1 for c in by_key.values() if c)}))
+    return 0
+
+
 def cmd_outliers(args) -> int:
     """Partitions of a stored run whose row_count deviates ≥ threshold
     standard deviations from the run's other partitions — scored from
@@ -430,6 +462,12 @@ def main(argv: list[str] | None = None) -> int:
     ol.add_argument("--z-threshold", type=float, default=3.0)
     ol.add_argument("--algo", help="score one algo's rows (default: dedupe per partition)")
     ol.set_defaults(fn=cmd_outliers)
+
+    pb = sub.add_parser("probe", help="bloom point-lookup: which stored (run, partition) cells might hold these doc_ids")
+    pb.add_argument("--manifest", required=True)
+    pb.add_argument("--run-id", action="append", help="restrict to these runs (repeatable); default all")
+    pb.add_argument("key", nargs="+", help="doc_ids to probe")
+    pb.set_defaults(fn=cmd_probe)
 
     gt = sub.add_parser("gate", help="incremental ingest gate: keep docs content-new vs a seen-digest parquet")
     gt.add_argument("--input", required=True, action="append")

@@ -57,3 +57,195 @@ def merged_distinct(
     if by:
         return s.groupBy(*by).agg(agg)
     return s.agg(agg)
+
+# ---------------------------------------------------------------------------
+# Partition bloom fingerprints: point-lookup pruning from manifest rows alone
+# ---------------------------------------------------------------------------
+
+BLOOM_KEY = "doc_id_bloom"  # not digest_*: manifest_rows reserves that prefix for digest tiers
+_BLOOM_LANES = 16  # 16 × 63 = 1008 bits per partition fingerprint
+_BLOOM_HASHES = 4
+_LANE_BITS = 63  # 63, not 64: engines disagree on setting a long's sign bit
+#                 (DuckDB raises on 1<<63), so the top bit stays unused
+
+
+def _positions(col, n_hashes: int, n_bits: int) -> list[F.Column]:
+    """k independent bit positions for a key (column name or Column) —
+    md5-derived so the identical arithmetic runs in any engine (the
+    oracle twin), unlike xxhash64."""
+    c = F.col(col) if isinstance(col, str) else col
+    return [
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"bf{j}|"), c).cast("binary")), 1, 15
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(n_bits),
+        )
+        for j in range(n_hashes)
+    ]
+
+
+def bloom_lane_exprs(
+    col,
+    n_lanes: int = _BLOOM_LANES,
+    n_hashes: int = _BLOOM_HASHES,
+    prefix: str = "lane_",
+) -> list[F.Column]:
+    """Per-ROW bloom contribution as ``n_lanes`` long columns
+    (``lane_00``…): bit ``p mod 63`` of lane ``p div 63`` set for each of
+    the k hash positions.  Aggregating each lane with ``bit_or`` per
+    partition yields the partition fingerprint — bit_or is commutative/
+    associative, so Spark runs map-side partials and the shuffle carries
+    exactly ``n_lanes`` longs per partition regardless of row count.
+    Pure shift/mask expressions: whole-stage codegen, no UDF."""
+    pos = _positions(col, n_hashes, n_lanes * _LANE_BITS)
+    lanes = []
+    for i in range(n_lanes):
+        v = F.lit(0).cast("long")
+        for p in pos:
+            v = v.bitwiseOR(
+                F.when(
+                    (p / _LANE_BITS).cast("long") == i,
+                    # call_function: the shiftleft python wrapper only
+                    # takes int shifts, the SQL function takes a column
+                    F.call_function(
+                        "shiftleft",
+                        F.lit(1).cast("long"),
+                        F.pmod(p, F.lit(_LANE_BITS)).cast("int"),
+                    ),
+                ).otherwise(F.lit(0).cast("long"))
+            )
+        lanes.append(v.alias(f"{prefix}{i:02d}"))
+    return lanes
+
+
+def partition_fingerprint(
+    df: DataFrame,
+    part_col: str,
+    key_col: str,
+    n_lanes: int = _BLOOM_LANES,
+    n_hashes: int = _BLOOM_HASHES,
+) -> DataFrame:
+    """One 1008-bit bloom fingerprint per partition: (part_col,
+    lane_00..lane_15).  ONE hash-aggregate over (part_col, key_col) —
+    the only shuffle is n_lanes longs per partition.  False-positive
+    rate ≈ (1-e^{-kn/m})^k: ~0.26% at 1 000 keys/partition, k=4,
+    m=1008; size the lanes up for bigger partitions."""
+    rows = df.select(F.col(part_col), *bloom_lane_exprs(key_col, n_lanes, n_hashes))
+    return rows.groupBy(part_col).agg(
+        *[F.bit_or(f"lane_{i:02d}").alias(f"lane_{i:02d}") for i in range(n_lanes)]
+    )
+
+
+def bloom_serialize_expr(n_lanes: int = _BLOOM_LANES) -> F.Column:
+    """Fingerprint lanes → one hex string (comma-joined 16-hex-digit
+    lanes) that rides the manifest stats map (map<string,string>
+    unchanged, same trick as the HLL sketch and quality histogram)."""
+    return F.concat_ws(
+        ",",
+        *[
+            F.lpad(F.hex(F.col(f"lane_{i:02d}")), 16, "0")
+            for i in range(n_lanes)
+        ],
+    )
+
+
+def fingerprint_probe(
+    fingerprints: DataFrame,
+    probes: DataFrame,
+    part_col: str,
+    key_col: str,
+    n_lanes: int = _BLOOM_LANES,
+    n_hashes: int = _BLOOM_HASHES,
+) -> DataFrame:
+    """Which partitions MIGHT contain each probe key?
+
+    ``fingerprints`` is a :func:`partition_fingerprint` result (or the
+    deserialized manifest ride-along); ``probes`` carries ``key_col``.
+    Returns (key_col, part_col) rows where every probe bit is set — the
+    prune list a point-lookup ingest gate scans INSTEAD of the corpus.
+    Plan shape: probes are tiny → broadcast; the join is
+    fingerprint-sized (one row per partition), never row-level."""
+    cond = _probe_cond(key_col, n_lanes, n_hashes)
+    return (
+        fingerprints.crossJoin(F.broadcast(probes.select(key_col).distinct()))
+        .filter(cond)
+        .select(key_col, part_col)
+    )
+
+
+def _probe_cond(key_col: str, n_lanes: int, n_hashes: int) -> F.Column:
+    """All k probe bits set in the matching lane columns (lane_00..)."""
+    pos = _positions(key_col, n_hashes, n_lanes * _LANE_BITS)
+    cond = F.lit(True)
+    for p in pos:
+        lane_idx = (p / _LANE_BITS).cast("int")
+        bit = F.call_function(
+            "shiftleft", F.lit(1).cast("long"), F.pmod(p, F.lit(_LANE_BITS)).cast("int")
+        )
+        # fixed-width lane dispatch: CASE over n_lanes long columns
+        lane_val = F.when(lane_idx == 0, F.col("lane_00"))
+        for i in range(1, n_lanes):
+            lane_val = lane_val.when(lane_idx == i, F.col(f"lane_{i:02d}"))
+        cond = cond & (lane_val.bitwiseAND(bit) == bit)
+    return cond
+
+
+def bloom_agg_expr(prefix: str = "_bl_", n_lanes: int = _BLOOM_LANES) -> F.Column:
+    """bit_or-fold per-row lane columns (named ``{prefix}NN``) straight
+    into the serialized hex form — one aggregate expression, so the
+    fingerprint can ride any existing groupBy (validate's side scan)."""
+    return F.concat_ws(
+        ",",
+        *[
+            F.lpad(F.hex(F.bit_or(f"{prefix}{i:02d}")), 16, "0")
+            for i in range(n_lanes)
+        ],
+    )
+
+
+def bloom_deserialize_exprs(col: F.Column, n_lanes: int = _BLOOM_LANES) -> list[F.Column]:
+    """Stored hex string → lane_00.. long columns (inverse of
+    :func:`bloom_serialize_expr`/:func:`bloom_agg_expr`).  Bit 63 is never
+    set (``_LANE_BITS``), so the conv() back to long cannot overflow."""
+    parts = F.split(col, ",")
+    return [
+        F.conv(F.element_at(parts, i + 1), 16, 10).cast("long").alias(f"lane_{i:02d}")
+        for i in range(n_lanes)
+    ]
+
+
+def manifest_probe(
+    manifests: DataFrame,
+    probes: DataFrame,
+    key_col: str = "doc_id",
+    stat_key: str = BLOOM_KEY,
+    n_lanes: int = _BLOOM_LANES,
+    n_hashes: int = _BLOOM_HASHES,
+) -> DataFrame:
+    """Point-lookup gate over STORED manifests: (key, run_id,
+    partition_id) rows whose stored bloom might contain the key.
+
+    An ingest gate asking "was doc X ever validated?" scans O(runs ×
+    partitions) manifest rows instead of the corpus; rows lacking the
+    bloom (older engine versions) are dropped — same contract as
+    ``merged_distinct`` for missing sketches.  Probe keys are matched as
+    STRINGS (validate stores the bloom over ``cast(doc_id as string)``)."""
+    fps = manifests.filter(
+        F.map_contains_key(F.col("stats"), F.lit(stat_key))
+    ).select(
+        "run_id",
+        "partition_id",
+        *bloom_deserialize_exprs(F.element_at(F.col("stats"), F.lit(stat_key)), n_lanes),
+    )
+    keyed = probes.select(F.col(key_col).cast("string").alias("_probe_key")).distinct()
+    cond = _probe_cond("_probe_key", n_lanes, n_hashes)
+    return (
+        fps.crossJoin(F.broadcast(keyed))
+        .filter(cond)
+        .select(F.col("_probe_key").alias(key_col), "run_id", "partition_id")
+    )

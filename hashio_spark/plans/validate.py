@@ -200,13 +200,26 @@ def validate(
             ).alias("quality_hist")
         )
     if with_sketches:
-        from hashio_spark.operators.sketches import SKETCH_KEY, hll_sketch_expr
+        from hashio_spark.operators.sketches import (
+            BLOOM_KEY,
+            SKETCH_KEY,
+            bloom_agg_expr,
+            bloom_lane_exprs,
+            hll_sketch_expr,
+        )
 
         # rides the same narrow side scan: sketch update is cheap per row
         # and the serialized sketch (KBs) only crosses the wire once per
         # map-side partial — never the wide aggregation's codegen budget
         side_sel.append(F.col("doc_id").alias("_sk_id"))
         side_aggs.append(hll_sketch_expr("_sk_id").alias(SKETCH_KEY))
+        # doc_id bloom fingerprint rides the same scan: 16 bit_or longs
+        # per partition, so later point lookups ("was doc X validated?")
+        # prune from manifest rows alone (sketches.manifest_probe)
+        side_sel.extend(
+            bloom_lane_exprs(F.col("doc_id").cast("string"), prefix="_bl_")
+        )
+        side_aggs.append(bloom_agg_expr().alias(BLOOM_KEY))
     if side_aggs:
         side = docs.select(*side_sel).groupBy("partition_id").agg(*side_aggs)
         report = report.join(side, "partition_id", "left_outer")

@@ -3152,3 +3152,127 @@ FROM documents ORDER BY doc_id
 
 
 REGISTRY["zorder_key"] = (zorder_key_q, ZORDER_KEY_SQL)
+
+
+def partition_bloom_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition bloom fingerprints (operators/sketches.partition_fingerprint):
+    one 1008-bit digest-membership mask per source, serialized to the hex
+    string that rides the manifest stats map.  ONE hash-aggregate whose
+    shuffle carries 16 longs per source — point lookups later prune
+    partitions from these rows instead of rescanning the corpus."""
+    from hashio_spark.operators.sketches import (
+        bloom_serialize_expr,
+        partition_fingerprint,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(
+        "source", F.md5(F.col("text").cast("binary")).alias("digest")
+    )
+    fp = partition_fingerprint(d, "source", "digest")
+    return fp.select("source", bloom_serialize_expr().alias("bloom")).orderBy("source")
+
+
+def _bloom_sql_parts(key: str, n_lanes: int = 16, n_hashes: int = 4, lane_bits: int = 63):
+    """Shared SQL fragments replicating sketches._positions / bloom_lane_exprs."""
+    n_bits = n_lanes * lane_bits
+    pos = [
+        f"CAST(concat('0x', substr(md5(concat('bf{j}|', {key})), 1, 15)) AS BIGINT) % {n_bits}"
+        for j in range(n_hashes)
+    ]
+    return pos
+
+
+PARTITION_BLOOM_SQL_LANES = ",\n    ".join(
+    "("
+    + " | ".join(
+        f"CASE WHEN p{j} // 63 = {i} THEN CAST(1 AS BIGINT) << (p{j} % 63) ELSE 0 END"
+        for j in range(4)
+    )
+    + f") AS lane_{i:02d}"
+    for i in range(16)
+)
+
+PARTITION_BLOOM_SQL = f"""
+WITH keyed AS (
+  SELECT source, md5(text) AS k FROM documents
+), pos AS (
+  SELECT source,
+    {", ".join(f'{p} AS p{j}' for j, p in enumerate(_bloom_sql_parts('k')))}
+  FROM keyed
+), lanes AS (
+  SELECT source,
+    {PARTITION_BLOOM_SQL_LANES}
+  FROM pos
+)
+SELECT source, concat_ws(',',
+  {", ".join(f"lpad(upper(to_hex(bit_or(lane_{i:02d}))), 16, '0')" for i in range(16))}
+) AS bloom
+FROM lanes GROUP BY source ORDER BY source
+"""
+
+
+REGISTRY["partition_bloom"] = (partition_bloom_q, PARTITION_BLOOM_SQL)
+
+
+def bloom_probe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-lookup gate (operators/sketches.fingerprint_probe): which
+    partitions MIGHT hold each probe digest?  10 probes (5 present, 5
+    absent) against the per-source fingerprints — the probe join touches
+    fingerprint rows only (one per source), never the corpus."""
+    from hashio_spark.operators.sketches import (
+        fingerprint_probe,
+        partition_fingerprint,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.md5(F.col("text").cast("binary")).alias("digest")
+    )
+    fp = partition_fingerprint(d, "source", "digest")
+    present = d.filter(F.col("doc_id") < 5).select("digest")
+    absent = spark.range(5).select(
+        F.md5(F.concat(F.lit("nope|"), F.col("id").cast("string")).cast("binary")).alias(
+            "digest"
+        )
+    )
+    probes = present.unionAll(absent)
+    return fingerprint_probe(fp, probes, "source", "digest").orderBy("digest", "source")
+
+
+_PROBE_COND = " AND ".join(
+    "((CASE "
+    + " ".join(f"WHEN q{j} // 63 = {i} THEN lane_{i:02d}" for i in range(16))
+    + f" END) & (CAST(1 AS BIGINT) << (q{j} % 63))) = (CAST(1 AS BIGINT) << (q{j} % 63))"
+    for j in range(4)
+)
+
+BLOOM_PROBE_SQL = f"""
+WITH keyed AS (
+  SELECT doc_id, source, md5(text) AS k FROM documents
+), pos AS (
+  SELECT source,
+    {", ".join(f'{p} AS p{j}' for j, p in enumerate(_bloom_sql_parts('k')))}
+  FROM keyed
+), lanes AS (
+  SELECT source,
+    {PARTITION_BLOOM_SQL_LANES}
+  FROM pos
+), fp AS (
+  SELECT source, {", ".join(f"bit_or(lane_{i:02d}) AS lane_{i:02d}" for i in range(16))}
+  FROM lanes GROUP BY source
+), probes AS (
+  SELECT DISTINCT k AS digest FROM keyed JOIN documents USING (doc_id, source)
+    WHERE doc_id < 5
+  UNION ALL
+  SELECT md5(concat('nope|', CAST(r AS VARCHAR))) FROM range(5) t(r)
+), qpos AS (
+  SELECT digest,
+    {", ".join(f"{p} AS q{j}" for j, p in enumerate(_bloom_sql_parts('digest')))}
+  FROM (SELECT DISTINCT digest FROM probes)
+)
+SELECT digest, source FROM fp CROSS JOIN qpos
+WHERE {_PROBE_COND}
+ORDER BY digest, source
+"""
+
+
+REGISTRY["bloom_probe"] = (bloom_probe_q, BLOOM_PROBE_SQL)

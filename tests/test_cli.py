@@ -267,3 +267,33 @@ def test_cli_leakage_exit_codes(spark, tmp_path, capsys):
     rc = main(["leakage", "--input", clean])
     assert rc == 0
     assert json.loads(capsys.readouterr().out.strip().splitlines()[-1])["leaked_pairs"] == 0
+
+
+def test_cli_probe_roundtrip(io_dirs, capsys, tmp_path_factory):
+    """validate --sketches also stores doc_id bloom fingerprints; `probe`
+    answers point lookups from manifests alone: present keys hit at least
+    their own (run, partition) cell, bloom-less stores error loudly."""
+    root = tmp_path_factory.mktemp("probe")
+    man = str(root / "manifest")
+    rc = main([
+        "validate", "--input", io_dirs["docs"], "--manifest", man,
+        "--run-id", "pbA", "--algo", "xxh64", "--checks", "shape", "--sketches",
+    ])
+    assert rc == 0
+    capsys.readouterr()
+
+    assert main(["probe", "--manifest", man, "doc-000000000007", "no-such-doc-xyz"]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    summary = json.loads(out[-1])
+    assert summary["probed"] == 2
+    lines = {ln.split("\t")[0]: ln.split("\t") for ln in out[:-1]}
+    assert lines["doc-000000000007"][1] == "maybe-present"
+    assert any(c.startswith("pbA/") for c in lines["doc-000000000007"][2].split(","))
+    # bloom has no false negatives, so absent-with-zero-hits is definitive
+    assert lines["no-such-doc-xyz"][1] == "definitely-absent"
+
+
+def test_cli_probe_without_blooms_errors(io_dirs, capsys):
+    assert main(["probe", "--manifest", io_dirs["manifest"], "doc-000000000007"]) == 1
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "bloom" in out["error"]
