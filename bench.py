@@ -97,6 +97,11 @@ BENCH_QUERIES = [
     "media_frames",
     "media_resize",
     "validate_interleaved",
+    "mixture_weights",
+    "compaction_plan",
+    "zorder_key",
+    "partition_bloom",
+    "bloom_probe",
 ]
 
 _DOCS_PATH = "/tmp/hashio_spark_bench_docs.parquet"

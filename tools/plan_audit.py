@@ -496,6 +496,69 @@ def main() -> None:
     )
     sections.append(("duplicate_ngrams (span dedup: stacked hash aggs, map-side within-doc combine)", p, notes))
 
+    # 32. mixture weights: ONE corpus hash-agg reading (lang, n_chars)
+    # only; everything downstream is strata-sized (broadcast one-row
+    # totals — the BroadcastNestedLoopJoin is over 1×strata rows)
+    q = REGISTRY["mixture_weights"][0](spark, SF)
+    p = plan_of(q)
+    notes = check(
+        "mixture_weights", p,
+        must=[r"HashAggregate", r"ReadSchema: struct<lang:string,n_chars:bigint>"],
+        must_not=[r"BatchEvalPython", r"SortAggregate", r"CartesianProduct",
+                  r"SortMergeJoin"],
+    )
+    sections.append(("mixture_weights (one pruned corpus agg, strata-sized solver)", p, notes))
+
+    # 33. compaction plan: corpus agg is hash + pruned; the global-order
+    # window is DELIBERATE — it runs on the manifest-sized partition
+    # listing (10^5-10^6 rows at 100 TB), never row-level data
+    q = REGISTRY["compaction_plan"][0](spark, SF)
+    p = plan_of(q)
+    notes = check(
+        "compaction_plan", p,
+        must=[r"HashAggregate", r"Window",
+              r"ReadSchema: struct<lang:string,source:string,n_chars:bigint>"],
+        must_not=[r"BatchEvalPython", r"SortAggregate", r"CartesianProduct"],
+    )
+    sections.append(("compaction_plan (pruned corpus agg; planning window on manifest-sized rows)", p, notes))
+
+    # 34. z-order key: one codegen projection over a two-column scan —
+    # the 16-term interleave never leaves WholeStageCodegen
+    q = REGISTRY["zorder_key"][0](spark, SF)
+    p = plan_of(q)
+    notes = check(
+        "zorder_key", p,
+        must=[r"Project", r"ReadSchema: struct<doc_id:bigint,n_chars:bigint>",
+              r"shiftleft"],  # the interleave stays one JVM projection
+        must_not=[r"BatchEvalPython", r"HashAggregate", r"Join", r"Generate"],
+    )
+    sections.append(("zorder_key (pure codegen Morton projection, two-column scan)", p, notes))
+
+    # 35. partition bloom: ONE hash-agg whose shuffle carries 16 bit_or
+    # longs per partition; scan pruned to (source, text)
+    q = REGISTRY["partition_bloom"][0](spark, SF)
+    p = plan_of(q)
+    notes = check(
+        "partition_bloom", p,
+        must=[r"HashAggregate", r"partial_bit_or",
+              r"ReadSchema: struct<text:string,source:string>"],
+        must_not=[r"BatchEvalPython", r"SortAggregate", r"Window",
+                  r"CartesianProduct", r"SortMergeJoin"],
+    )
+    sections.append(("partition_bloom (bit_or fingerprint agg, map-side partials)", p, notes))
+
+    # 36. bloom probe: probes BROADCAST into the fingerprint table (one
+    # row per partition) — the nested-loop join is over fingerprint ×
+    # probe rows, never the corpus
+    q = REGISTRY["bloom_probe"][0](spark, SF)
+    p = plan_of(q)
+    notes = check(
+        "bloom_probe", p,
+        must=[r"HashAggregate", r"BroadcastNestedLoopJoin"],
+        must_not=[r"BatchEvalPython", r"SortMergeJoin", r"SortAggregate"],
+    )
+    sections.append(("bloom_probe (broadcast probes × fingerprint rows, corpus untouched)", p, notes))
+
     with open("PLANS.md", "w") as f:
         f.write("# PLANS — physical-plan audit (auto-generated by tools/plan_audit.py)\n\n")
         f.write("Checked properties per plan; full `.explain('formatted')` output below.\n\n")
