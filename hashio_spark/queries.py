@@ -3100,7 +3100,8 @@ def compaction_plan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 COMPACTION_PLAN_SQL = """
 WITH parts AS (
-  SELECT source || '/' || lang AS pkey, sum(n_chars) AS bytes
+  SELECT source || '/' || lang AS pkey,
+    CAST(sum(n_chars) AS BIGINT) AS bytes
   FROM documents GROUP BY 1
 ), cum AS (
   SELECT pkey, bytes,
@@ -3110,7 +3111,7 @@ WITH parts AS (
   FROM parts
 )
 SELECT pkey, bytes, file_group,
-  sum(bytes) OVER (PARTITION BY file_group) AS group_bytes,
+  CAST(sum(bytes) OVER (PARTITION BY file_group) AS BIGINT) AS group_bytes,
   count(*) OVER (PARTITION BY file_group) AS group_files
 FROM cum ORDER BY pkey
 """
