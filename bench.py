@@ -102,6 +102,11 @@ BENCH_QUERIES = [
     "zorder_key",
     "partition_bloom",
     "bloom_probe",
+    "shuffle_order",
+    "quality_gate",
+    "token_entropy",
+    "rolling_user_stats",
+    "duplicate_lines",
 ]
 
 _DOCS_PATH = "/tmp/hashio_spark_bench_docs.parquet"

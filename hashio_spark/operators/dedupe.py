@@ -335,6 +335,48 @@ def duplicate_ngrams(
     )
 
 
+def duplicate_lines(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    min_chars: int = 20,
+    min_docs: int = 2,
+    hashed: bool = False,
+) -> DataFrame:
+    """Cross-document duplicated LINES/SENTENCES — the C4-style unit of
+    boilerplate removal (cookie banners, nav bars, license sentences
+    repeat verbatim across pages; they survive document dedup and are
+    too long for fixed-k n-gram spans to pin down as one unit).
+
+    Splits on sentence boundaries (``\\.\\s+`` — RE2-safe, identical in
+    Spark and the oracle engine), normalizes (trim + lower), drops
+    fragments under ``min_chars``, and counts distinct-document
+    occurrences.  Same two-stacked-HashAggregate shape as
+    ``duplicate_ngrams``: the (line, doc) agg collapses within-doc
+    repeats map-side, so the corpus-wide shuffle carries one row per
+    DISTINCT (line, doc); the line-only re-agg counts docs.  No window,
+    no join, no Python.  ``hashed=True`` shuffles ``xxhash64(line)``
+    8-byte keys (scale tier); ``hashed=False`` keeps the raw line
+    (oracle tier, exemplar visible in the output).
+    """
+    lines = df.select(
+        F.col(key_col).alias("key"),
+        F.explode(F.split(F.col(text_col), r"\.\s+")).alias("_raw"),
+    ).select("key", F.lower(F.trim(F.col("_raw"))).alias("line"))
+    lines = lines.filter(F.length("line") >= min_chars)
+    if hashed:
+        lines = lines.select("key", F.xxhash64("line").alias("line"))
+    per_doc = lines.groupBy("line", "key").agg(F.count(F.lit(1)).alias("_cnt"))
+    return (
+        per_doc.groupBy("line")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_cnt").alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
 def ingest_gate(
     incoming: DataFrame,
     seen: DataFrame,

@@ -171,3 +171,42 @@ def zscore_outliers(
             F.round(z, 6).alias("zscore"),
         )
     )
+
+
+def rolling_stats(
+    df: DataFrame,
+    part_col: str,
+    order_cols: list[str],
+    value_col: str,
+    window_rows: int = 3,
+) -> DataFrame:
+    """Per-key rolling aggregates over an ordered event stream: trailing
+    ``window_rows``-row moving average + running count/sum of
+    ``value_col`` — the feature-engineering primitive behind per-user
+    rate/velocity signals (reference analog: the running progress
+    counters, ``worker.py:151-152``, generalized from one global stream
+    to per-key ordered streams).
+
+    Scale shape: ONE exchange hash-partitioned on ``part_col`` and a
+    per-key sort — both windows below share the identical
+    (partition, order) spec, so Catalyst plans a single Window node over
+    a single sort.  Frames are row-bounded (no unbounded-following), so
+    the window evaluator streams each key group without materializing
+    it.  Skewed keys (one user with millions of events) are the caveat;
+    profile with ``skew.key_profile`` and split hot keys upstream.
+
+    ``order_cols`` must be a deterministic total order within each key
+    (include a unique id as tiebreak) or the moving average is
+    layout-dependent.
+    """
+    from pyspark.sql import Window
+
+    base = Window.partitionBy(part_col).orderBy(*[F.col(c).asc() for c in order_cols])
+    trailing = base.rowsBetween(-(window_rows - 1), 0)
+    running = base.rowsBetween(Window.unboundedPreceding, 0)
+    v = F.col(value_col).cast("double")
+    return (
+        df.withColumn("seq", F.row_number().over(base))
+        .withColumn("moving_avg", F.round(F.avg(v).over(trailing), 6))
+        .withColumn("running_sum", F.round(F.sum(v).over(running), 6))
+    )

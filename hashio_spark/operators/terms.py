@@ -177,3 +177,48 @@ def vocab_coverage(
     from hashio_spark.caching import track
 
     return track(out, counts)
+
+
+def token_entropy(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group unigram token entropy (nats) — the standard diversity /
+    degeneracy signal for corpus slices: templated or machine-generated
+    slices show low entropy, natural text high.
+
+    Uses the exact-count decomposition H = ln(N) - (1/N)·Σ c·ln(c):
+    only one float operation per DISTINCT token, over exact integer
+    counts, so the value is reproducible across engines to rounding.
+
+    Scale shape: one explode + (group, token) HashAggregate (map-side
+    partials absorb within-doc repetition), then a group-level re-agg of
+    the (group, vocab)-sized table.  No window, no join, no Python.
+    Output: (group, n_tokens, vocab_size, entropy, entropy_norm) with
+    entropy_norm = H / ln(vocab_size) in [0, 1] (0 when vocab <= 1).
+    """
+    toks = docs.select(
+        F.col(group_col).alias("grp"),
+        F.explode(F.split(F.col(text_col), r"\s+")).alias("token"),
+    ).filter(F.col("token") != "")
+    counts = toks.groupBy("grp", "token").agg(F.count(F.lit(1)).alias("c"))
+    agg = counts.groupBy("grp").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.sum(F.col("c").cast("double") * F.log(F.col("c").cast("double"))).alias("_clnc"),
+    )
+    n = F.col("n_tokens").cast("double")
+    h = F.log(n) - F.col("_clnc") / n
+    return agg.select(
+        F.col("grp").alias(group_col),
+        "n_tokens",
+        "vocab_size",
+        F.round(h, 6).alias("entropy"),
+        F.round(
+            F.when(F.col("vocab_size") > 1, h / F.log(F.col("vocab_size").cast("double"))).otherwise(
+                F.lit(0.0)
+            ),
+            6,
+        ).alias("entropy_norm"),
+    )

@@ -3277,3 +3277,183 @@ ORDER BY digest, source
 
 
 REGISTRY["bloom_probe"] = (bloom_probe_q, BLOOM_PROBE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Training-order shuffle, quantile curation, entropy, rolling stats, line dedup
+# ---------------------------------------------------------------------------
+
+
+def shuffle_order_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order shuffle (operators/ordering.py):
+    (shard, pos) slots from the md5 key hash — layout-independent,
+    reproducible, and the only corpus-wide movement is ONE exchange on
+    shard (the same partitioning the shard writer needs next).  md5 tier
+    here for oracle parity; production uses method='xxhash64'."""
+    from hashio_spark.operators.ordering import shuffle_shards
+
+    d = _t(spark, sf_dir, "documents")
+    out = shuffle_shards(d.select("doc_id"), "doc_id", n_shards=8, method="md5")
+    return out.select("doc_id", "shard", F.col("pos").cast("long").alias("pos"))
+
+
+SHUFFLE_ORDER_SQL = """
+WITH h AS (
+  SELECT doc_id,
+    (CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), 's42')), 1, 15)) AS BIGINT)
+     % 1000000) AS k
+  FROM documents
+)
+SELECT doc_id,
+  CAST(k % 8 AS INT) AS shard,
+  CAST(row_number() OVER (PARTITION BY k % 8 ORDER BY k / 1000000.0, doc_id) AS BIGINT) AS pos
+FROM h
+"""
+
+
+REGISTRY["shuffle_order"] = (shuffle_order_q, SHUFFLE_ORDER_SQL)
+
+
+def quality_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality curation (operators/ordering.quantile_gate):
+    keep the top half of each source by alpha-ratio score, EXACT tier —
+    percent_rank over (rounded score, doc_id) so the kept set is
+    bit-identical across engines.  Production at corpus-sized groups
+    uses quantile_gate_approx (sketch threshold broadcast back, no
+    per-group sort)."""
+    from hashio_spark.operators.ordering import quantile_gate
+
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "source",
+        F.round(
+            F.length(F.regexp_replace("text", "[^a-z]", "")).cast("double")
+            / F.length("text").cast("double"),
+            6,
+        ).alias("score"),
+    )
+    out = quantile_gate(scored, "score", "source", keep_frac=0.5, tiebreak_col="doc_id")
+    return out.select("doc_id", "source", "score", "kept")
+
+
+QUALITY_GATE_SQL = """
+WITH scored AS (
+  SELECT doc_id, source,
+    round(cast(length(regexp_replace(text, '[^a-z]', '', 'g')) AS double)
+          / cast(length(text) AS double), 6) AS score
+  FROM documents
+)
+SELECT doc_id, source, score,
+  (percent_rank() OVER (PARTITION BY source ORDER BY score ASC, doc_id ASC) >= 0.5) AS kept
+FROM scored
+"""
+
+
+REGISTRY["quality_gate"] = (quality_gate_q, QUALITY_GATE_SQL)
+
+
+def token_entropy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram token entropy (operators/terms.token_entropy)
+    — corpus-slice diversity signal; exact-count decomposition
+    H = ln(N) - Σ c·ln(c)/N keeps the float work to one op per DISTINCT
+    token so the value reproduces across engines."""
+    from hashio_spark.operators.terms import token_entropy
+
+    d = _t(spark, sf_dir, "documents")
+    return token_entropy(d, group_col="source", text_col="text")
+
+
+TOKEN_ENTROPY_SQL = r"""
+WITH toks AS (
+  SELECT source, tok AS token FROM (
+    SELECT source, unnest(string_split_regex(text, '\s+')) AS tok FROM documents
+  ) WHERE tok <> ''
+), counts AS (
+  SELECT source, token, count(*) AS c FROM toks GROUP BY 1, 2
+), agg AS (
+  SELECT source,
+    CAST(sum(c) AS BIGINT) AS n_tokens,
+    count(*) AS vocab_size,
+    sum(cast(c AS double) * ln(cast(c AS double))) AS clnc
+  FROM counts GROUP BY 1
+)
+SELECT source, n_tokens, vocab_size,
+  round(ln(cast(n_tokens AS double)) - clnc / cast(n_tokens AS double), 6) AS entropy,
+  round(CASE WHEN vocab_size > 1
+    THEN (ln(cast(n_tokens AS double)) - clnc / cast(n_tokens AS double))
+         / ln(cast(vocab_size AS double))
+    ELSE 0.0 END, 6) AS entropy_norm
+FROM agg
+"""
+
+
+REGISTRY["token_entropy"] = (token_entropy_q, TOKEN_ENTROPY_SQL)
+
+
+def rolling_user_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rolling event features (operators/stats.rolling_stats):
+    3-event trailing moving average + running sum of value, ordered by
+    (ts, event_id).  One exchange on user_id, one per-key sort shared by
+    both frames."""
+    from hashio_spark.operators.stats import rolling_stats
+
+    e = _t(spark, sf_dir, "events")
+    out = rolling_stats(
+        e.select("event_id", "user_id", "ts", "value"),
+        part_col="user_id",
+        order_cols=["ts", "event_id"],
+        value_col="value",
+        window_rows=3,
+    )
+    return out.select(
+        "event_id", "user_id", F.col("seq").cast("long").alias("seq"), "moving_avg", "running_sum"
+    )
+
+
+ROLLING_USER_STATS_SQL = """
+SELECT event_id, user_id,
+  CAST(row_number() OVER w AS BIGINT) AS seq,
+  round(avg(value) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS moving_avg,
+  round(sum(value) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS running_sum
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+REGISTRY["rolling_user_stats"] = (rolling_user_stats_q, ROLLING_USER_STATS_SQL)
+
+
+def duplicate_lines_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style cross-document duplicated sentences
+    (operators/dedupe.duplicate_lines): normalized sentence units in ≥2
+    distinct docs.  Registered tier keys on raw line strings (oracle
+    exemplar visible); production uses hashed=True 8-byte shuffle keys.
+    At sf0.01 the synthetic corpus has no duplicated sentence units, so
+    the correctness row verifies at 0 rows (both engines agree the dup
+    set is empty); at sf0.1 it finds 8.  The positive-case unit evidence
+    is tests/test_ordering_entropy.py with planted punctuated docs."""
+    from hashio_spark.operators.dedupe import duplicate_lines
+
+    d = _t(spark, sf_dir, "documents")
+    return duplicate_lines(d, "doc_id", "text", min_chars=20, min_docs=2, hashed=False)
+
+
+DUPLICATE_LINES_SQL = r"""
+WITH lines AS (
+  SELECT doc_id, lower(trim(l)) AS line FROM (
+    SELECT doc_id, unnest(string_split_regex(text, '\.\s+')) AS l FROM documents
+  )
+), kept AS (
+  SELECT doc_id, line FROM lines WHERE length(line) >= 20
+), per_doc AS (
+  SELECT line, doc_id, count(*) AS cnt FROM kept GROUP BY 1, 2
+)
+SELECT line,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(cnt) AS BIGINT) AS n_occurrences
+FROM per_doc GROUP BY line HAVING count(*) >= 2
+"""
+
+
+REGISTRY["duplicate_lines"] = (duplicate_lines_q, DUPLICATE_LINES_SQL)

@@ -559,6 +559,86 @@ def main() -> None:
     )
     sections.append(("bloom_probe (broadcast probes × fingerprint rows, corpus untouched)", p, notes))
 
+    # 37. training-order shuffle: per-row hash projection, ONE exchange
+    # on shard, per-shard sort (never a global sort / single partition)
+    q = REGISTRY["shuffle_order"][0](spark, SF)
+    p = plan_of(q)
+    notes = check(
+        "shuffle_order", p,
+        must=[r"hashpartitioning\(shard",
+              r"ReadSchema: struct<doc_id:bigint>"],
+        must_not=[r"BatchEvalPython", r"Exchange SinglePartition",
+                  r"rangepartitioning", r"CartesianProduct"],
+    )
+    sections.append(("shuffle_order (per-shard sort, one shard exchange, no global order)", p, notes))
+
+    # 38. quality gate (exact tier): ONE exchange on the group column; the
+    # scan reads only (doc_id, source, text)
+    q = REGISTRY["quality_gate"][0](spark, SF)
+    p = plan_of(q)
+    notes = check(
+        "quality_gate", p,
+        must=[r"hashpartitioning\(source",
+              r"ReadSchema: struct<doc_id:bigint,text:string,source:string>"],
+        must_not=[r"BatchEvalPython", r"Exchange SinglePartition", r"Join"],
+    )
+    sections.append(("quality_gate (exact percent_rank tier: one group exchange)", p, notes))
+
+    # 38b. quality gate approx tier: threshold agg is a HashAggregate pair
+    # broadcast back — NO window, NO per-group sort of the corpus
+    from hashio_spark.operators.ordering import quantile_gate_approx
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    q = quantile_gate_approx(d.select("doc_id", "source", F.col("n_chars").alias("score")),
+                             "score", "source", 0.5)
+    p = plan_of(q)
+    notes = check(
+        "quality_gate_approx", p,
+        must=[r"HashAggregate", r"approx_percentile", r"BroadcastHashJoin"],
+        must_not=[r"BatchEvalPython", r"Window", r"SortMergeJoin",
+                  r"Exchange SinglePartition"],
+    )
+    sections.append(("quality_gate_approx (scale tier: sketch agg + broadcast filter, no sort)", p, notes))
+
+    # 39. token entropy: two stacked HashAggregates (map-side partials);
+    # scan pruned to (text, source); no window/join/python
+    q = REGISTRY["token_entropy"][0](spark, SF)
+    p = plan_of(q)
+    notes = check(
+        "token_entropy", p,
+        must=[r"HashAggregate", r"partial_count",
+              r"ReadSchema: struct<text:string,source:string>"],
+        must_not=[r"BatchEvalPython", r"SortAggregate", r"Window", r"Join"],
+    )
+    sections.append(("token_entropy (two hash-aggs over exact counts, pruned scan)", p, notes))
+
+    # 40. rolling stats: both frames share one (partition, order) spec →
+    # ONE exchange on user_id, ONE Window node
+    q = REGISTRY["rolling_user_stats"][0](spark, SF)
+    p = plan_of(q)
+    notes = check(
+        "rolling_user_stats", p,
+        must=[r"hashpartitioning\(user_id", r"Window"],
+        must_not=[r"BatchEvalPython", r"Exchange SinglePartition", r"Join"],
+    )
+    if len(re.findall(r"\(\d+\) Exchange", p)) != 1:
+        failures.append("rolling_user_stats: expected exactly one hash exchange")
+        notes.append("VIOLATION expected exactly one hash exchange")
+    else:
+        notes.append("OK exactly one hash exchange (both frames share the sort)")
+    sections.append(("rolling_user_stats (one exchange + one shared Window sort)", p, notes))
+
+    # 41. duplicate lines: same two-stacked-HashAggregate shape as
+    # duplicate_ngrams — shuffle carries one row per DISTINCT (line, doc)
+    q = REGISTRY["duplicate_lines"][0](spark, SF)
+    p = plan_of(q)
+    notes = check(
+        "duplicate_lines", p,
+        must=[r"HashAggregate", r"partial_count",
+              r"ReadSchema: struct<doc_id:bigint,text:string>"],
+        must_not=[r"BatchEvalPython", r"SortAggregate", r"Window", r"Join"],
+    )
+    sections.append(("duplicate_lines (stacked hash-aggs, map-side dedup of within-doc repeats)", p, notes))
+
     with open("PLANS.md", "w") as f:
         f.write("# PLANS — physical-plan audit (auto-generated by tools/plan_audit.py)\n\n")
         f.write("Checked properties per plan; full `.explain('formatted')` output below.\n\n")
