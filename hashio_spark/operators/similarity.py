@@ -198,6 +198,63 @@ def ivf_centroids(emb: DataFrame, key_col: str, vec_col: str, n_list: int) -> li
     return [list(r["c"]) for r in rows]
 
 
+def kmeans_refine(
+    emb: DataFrame,
+    vec_col: str,
+    centroids: list[list[float]],
+    n_iters: int = 3,
+) -> list[list[float]]:
+    """Lloyd refinement of an IVF codebook, spherical variant (cosine
+    assignment, mean update) — entirely DataFrame ops, the iterative-
+    algorithm pattern MLlib's KMeans uses under the hood:
+
+    * assignment is a per-row broadcast-codebook expression (no shuffle,
+      no model object);
+    * the update is ONE HashAggregate per iteration with ``dim`` avg
+      columns — ``F.array(avg(v[0]), …, avg(v[d-1]))`` — so map-side
+      partials carry dim doubles per (task, list), never the vectors
+      themselves, and NO posexplode row-blowup;
+    * the driver collects n_list × dim doubles per iteration (the
+      codebook — KB-scale), exactly the coordinator traffic a real
+      k-means job pays.
+
+    Empty lists keep their previous centroid (standard Lloyd fallback),
+    so the codebook size is stable.  Deterministic: assignment ties
+    break by list id (array_max on (cos, lid) structs picks the highest
+    lid among equal cosines — consistent everywhere), and the mean's
+    float summation happens inside Spark's fixed-order partial/final
+    aggregation over a deterministic assignment, identical across runs
+    of the same input partitioning; cross-partitioning last-ulp drift is
+    acceptable for a codebook (unlike digests, which stay exact).
+    """
+    if not centroids:
+        raise ValueError("kmeans_refine needs a non-empty initial codebook")
+    dim = len(centroids[0])
+    vecs = emb.select(as_double_vec(vec_col).alias("cv"))
+    vecs = vecs.select("cv", norm2_expr(F.col("cv")).alias("cn"))
+    # n_iters scans of the same narrow projection: persist once, release
+    # before returning (no leaked cache handles, ADVICE r3 #4 discipline)
+    vecs = vecs.persist()
+    try:
+        for _ in range(n_iters):
+            assigned = vecs.select(
+                "cv",
+                F.array_max(_centroid_scores(F.col("cv"), F.col("cn"), centroids))["lid"].alias(
+                    "list_id"
+                ),
+            )
+            means = (
+                assigned.groupBy("list_id")
+                .agg(F.array(*[F.avg(F.col("cv")[i]) for i in range(dim)]).alias("c"))
+                .collect()
+            )
+            new = {int(r["list_id"]): [float(x) for x in r["c"]] for r in means}
+            centroids = [new.get(i, c) for i, c in enumerate(centroids)]
+    finally:
+        vecs.unpersist()
+    return centroids
+
+
 def _centroid_scores(vec: Column, nrm: Column, centroids: list[list[float]]) -> Column:
     """array<struct<cos,lid>> — cosine of ``vec`` to every centroid.
     Centroid norms are Python-precomputed constants; ``vec``/``nrm`` must
@@ -223,6 +280,7 @@ def ivf_topk(
     n_probe: int = 4,
     query_key: str | None = None,
     centroids: list[list[float]] | None = None,
+    refine_iters: int = 0,
 ) -> DataFrame:
     """IVF approximate top-k: corpus rows are assigned to their nearest
     centroid (inverted lists); each query probes its ``n_probe`` nearest
@@ -238,6 +296,8 @@ def ivf_topk(
     qk = query_key or key_col
     if centroids is None:
         centroids = ivf_centroids(emb, key_col, vec_col, n_list)
+    if refine_iters > 0:
+        centroids = kmeans_refine(emb, vec_col, centroids, n_iters=refine_iters)
 
     c = emb.select(F.col(key_col).alias("neighbor_id"), as_double_vec(vec_col).alias("cv"))
     c = c.select("neighbor_id", "cv", norm2_expr(F.col("cv")).alias("cn"))

@@ -367,3 +367,62 @@ def test_duplicate_ngrams_span_detection(spark):
     hashed = D.duplicate_ngrams(df, k=4, min_docs=1, hashed=True)
     row = [r for r in hashed.collect() if r["n_occurrences"] == 5]
     assert len(row) == 1 and row[0]["n_docs"] == 1  # "spam spam spam spam" x5
+
+
+def test_kmeans_refine_recovers_cluster_centers(spark):
+    """Lloyd refinement (spherical) must move a hash-sampled codebook
+    onto the true cluster structure: after refinement each refined
+    centroid sits near ONE true center, all clusters stay covered, and
+    assignment equals the planted labels."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(11)
+    centers = {0: rng.normal(0, 1, 16), 1: rng.normal(9, 1, 16), 2: rng.normal(-9, 1, 16)}
+    rows = []
+    for i in range(120):
+        c = i // 40
+        rows.append((i, (centers[c] + rng.normal(0, 0.05, 16)).astype("float32").tolist()))
+    pdf = pd.DataFrame(rows, columns=["vec_id", "embedding"])
+    emb = spark.createDataFrame(pdf, schema="vec_id long, embedding array<float>")
+
+    # over-provisioned codebook (n_list > k, the real IVF regime): a
+    # 3-point sample covers 3 clusters only ~22% of the time, and plain
+    # Lloyd cannot recover from a doubled cluster — IVF always picks
+    # n_list >> natural cluster count
+    init = S.ivf_centroids(emb, "vec_id", "embedding", n_list=9)
+    refined = S.kmeans_refine(emb, "embedding", init, n_iters=4)
+    assert len(refined) == 9 and all(len(c) == 16 for c in refined)
+
+    # each refined centroid must be within noise distance of a true center
+    covered = set()
+    for cvec in refined:
+        d = {k: float(np.linalg.norm(np.array(cvec) - centers[k])) for k in centers}
+        best = min(d, key=d.get)
+        assert d[best] < 0.5, f"refined centroid far from every center: {d}"
+        covered.add(best)
+    assert covered == {0, 1, 2}
+
+    # determinism: same input, same codebook
+    again = S.kmeans_refine(emb, "embedding", init, n_iters=4)
+    assert refined == again
+
+    # end-to-end: ivf_topk(refine_iters=...) at n_probe=1 stays in-cluster
+    q = emb.filter(F.col("vec_id") == 85)
+    out = S.ivf_topk(emb, q, "vec_id", "embedding", k=3, n_list=9, n_probe=1,
+                     refine_iters=3).collect()
+    assert out and all(80 <= r["neighbor_id"] < 120 for r in out)
+
+
+def test_kmeans_refine_empty_list_keeps_previous_centroid(spark):
+    import pandas as pd
+
+    # two tight identical points; 3 centroids, one will own nothing
+    pdf = pd.DataFrame([(0, [1.0, 0.0]), (1, [1.0, 0.01])], columns=["vec_id", "embedding"])
+    emb = spark.createDataFrame(pdf, schema="vec_id long, embedding array<float>")
+    init = [[1.0, 0.0], [0.0, 1.0], [-1.0, 0.0]]
+    refined = S.kmeans_refine(emb, "embedding", init, n_iters=2)
+    assert len(refined) == 3
+    assert refined[2] == [-1.0, 0.0]  # empty list -> previous centroid kept
+    with pytest.raises(ValueError):
+        S.kmeans_refine(emb, "embedding", [], n_iters=1)
