@@ -107,6 +107,8 @@ BENCH_QUERIES = [
     "token_entropy",
     "rolling_user_stats",
     "duplicate_lines",
+    "expectation_gate",
+    "funnel_conversion",
 ]
 
 _DOCS_PATH = "/tmp/hashio_spark_bench_docs.parquet"

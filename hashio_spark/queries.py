@@ -3457,3 +3457,119 @@ FROM per_doc GROUP BY line HAVING count(*) >= 2
 
 
 REGISTRY["duplicate_lines"] = (duplicate_lines_q, DUPLICATE_LINES_SQL)
+
+
+def expectation_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative Deequ-style data-quality gate
+    (operators/expectations.py): six (column, metric, bound) rules over
+    documents, evaluated per source in ONE aggregation pass (all metrics
+    algebraic → map-side partials; the per-rule verdict explode is an
+    inline over the aggregated row, no second scan).  The exact
+    `distinct` metric is the oracle tier; `approx_distinct` (HLL) is the
+    100-TB tier with the identical plan shape."""
+    from hashio_spark.operators.expectations import Expectation, evaluate_expectations
+
+    d = _t(spark, sf_dir, "documents")
+    rules = [
+        Expectation("text", "completeness", ">=", 1.0),
+        Expectation("n_chars", "min", ">=", 1.0),
+        Expectation("n_chars", "max", "<=", 100000.0),
+        Expectation("n_chars", "mean", "between", (10.0, 5000.0)),
+        Expectation("lang", "distinct", "<=", 10.0),
+        Expectation("doc_id", "row_count", ">=", 1.0),
+    ]
+    return evaluate_expectations(d, rules, by="source")
+
+
+EXPECTATION_GATE_SQL = """
+WITH agg AS (
+  SELECT source,
+    round(cast(count(text) AS double) / cast(count(*) AS double), 6) AS m0,
+    round(cast(min(n_chars) AS double), 6) AS m1,
+    round(cast(max(n_chars) AS double), 6) AS m2,
+    round(cast(sum(cast(n_chars AS decimal(38,6))) AS double) / cast(count(n_chars) AS double), 6) AS m3,
+    round(cast(count(DISTINCT lang) AS double), 6) AS m4,
+    round(cast(count(*) AS double), 6) AS m5
+  FROM documents GROUP BY source
+)
+SELECT source, CAST(0 AS BIGINT) AS rule_id, 'text' AS "column", 'completeness' AS metric, '>=' AS op,
+  m0 AS value, CAST(1.0 AS double) AS bound_lo, CAST(NULL AS double) AS bound_hi, m0 >= 1.0 AS passed FROM agg
+UNION ALL
+SELECT source, 1, 'n_chars', 'min', '>=', m1, CAST(1.0 AS double), NULL, m1 >= 1.0 FROM agg
+UNION ALL
+SELECT source, 2, 'n_chars', 'max', '<=', m2, NULL, CAST(100000.0 AS double), m2 <= 100000.0 FROM agg
+UNION ALL
+SELECT source, 3, 'n_chars', 'mean', 'between', m3, CAST(10.0 AS double), CAST(5000.0 AS double), m3 >= 10.0 AND m3 <= 5000.0 FROM agg
+UNION ALL
+SELECT source, 4, 'lang', 'distinct', '<=', m4, NULL, CAST(10.0 AS double), m4 <= 10.0 FROM agg
+UNION ALL
+SELECT source, 5, 'doc_id', 'row_count', '>=', m5, CAST(1.0 AS double), NULL, m5 >= 1.0 FROM agg
+"""
+
+
+REGISTRY["expectation_gate"] = (expectation_gate_q, EXPECTATION_GATE_SQL)
+
+
+def funnel_conversion_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered three-step funnel (view → click → purchase) over events:
+    a user reaches step k+1 only with an event strictly AFTER their
+    step-k time (min-timestamp chain semantics).
+
+    Spark-first shape: each step is a hash-agg on ``user_id`` over a
+    type-filtered slice, then an equi-join on the SAME key — the step-k
+    candidate set shrinks monotonically and every exchange shares the
+    ``user_id`` partitioning, so AQE reuses it across steps.  No windows,
+    no per-user event collection (the classic ``collect_list`` funnel is
+    unbounded per-user state), no global sort; the final conversion rate
+    joins against a broadcast single-row base count.
+    """
+    e = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    t1 = (e.filter(F.col("event_type") == "view")
+            .groupBy("user_id").agg(F.min("ts").alias("t1")))
+    t2 = (e.filter(F.col("event_type") == "click")
+            .join(t1, "user_id")
+            .filter(F.col("ts") > F.col("t1"))
+            .groupBy("user_id").agg(F.min("ts").alias("t2")))
+    t3 = (e.filter(F.col("event_type") == "purchase")
+            .join(t2, "user_id")
+            .filter(F.col("ts") > F.col("t2"))
+            .groupBy("user_id").agg(F.min("ts").alias("t3")))
+
+    def _count(df: DataFrame, step_id: int, step: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("users")).select(
+            F.lit(step_id).cast("long").alias("step_id"),
+            F.lit(step).alias("step"),
+            F.col("users"),
+        )
+
+    counts = (_count(t1, 1, "view")
+              .unionByName(_count(t2, 2, "click"))
+              .unionByName(_count(t3, 3, "purchase")))
+    base = _count(t1, 1, "view").select(F.col("users").alias("_base"))
+    return (counts.join(F.broadcast(base))
+            .select("step_id", "step", "users",
+                    F.round(F.col("users").cast("double") / F.col("_base").cast("double"), 6).alias("conv_pct"))
+            .orderBy("step_id"))
+
+
+FUNNEL_CONVERSION_SQL = """
+WITH t1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id
+), t2 AS (
+  SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN t1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > t1.t1 GROUP BY e.user_id
+), t3 AS (
+  SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN t2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > t2.t2 GROUP BY e.user_id
+), c AS (
+  SELECT CAST(1 AS BIGINT) AS step_id, 'view' AS step, (SELECT count(*) FROM t1) AS users
+  UNION ALL SELECT 2, 'click', (SELECT count(*) FROM t2)
+  UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM t3)
+)
+SELECT step_id, step, users,
+       round(CAST(users AS DOUBLE) / CAST((SELECT users FROM c WHERE step_id = 1) AS DOUBLE), 6) AS conv_pct
+FROM c ORDER BY step_id
+"""
+
+
+REGISTRY["funnel_conversion"] = (funnel_conversion_q, FUNNEL_CONVERSION_SQL)

@@ -1,0 +1,138 @@
+"""Deequ-style declarative expectations (operators/expectations.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hashio_spark.operators.expectations import (
+    Expectation,
+    SchemaField,
+    check_schema,
+    evaluate_expectations,
+    expectation_summary,
+)
+
+
+@pytest.fixture(scope="module")
+def table(spark):
+    rows = [
+        (1, "a", 10, "en"),
+        (2, "a", 20, "en"),
+        (3, "a", None, "de"),   # null value
+        (4, "b", 100, "en"),
+        (5, "b", 200, "en"),
+    ]
+    return spark.createDataFrame(rows, "id long, grp string, v int, lang string")
+
+
+def test_rules_validate_eagerly():
+    with pytest.raises(ValueError):
+        Expectation("v", "median", ">=", 1.0)
+    with pytest.raises(ValueError):
+        Expectation("v", "min", "!=", 1.0)
+    with pytest.raises(ValueError):
+        Expectation("v", "min", "between", 1.0)
+    with pytest.raises(ValueError):
+        Expectation("v", "min", ">=", (1.0, 2.0))
+    with pytest.raises(ValueError):
+        evaluate_expectations(None, [])
+
+
+def test_per_group_verdicts(table):
+    rules = [
+        Expectation("v", "completeness", ">=", 1.0),       # fails for grp a
+        Expectation("v", "min", ">=", 5.0),
+        Expectation("v", "mean", "between", (0.0, 50.0)),  # fails for grp b (150)
+        Expectation("lang", "distinct", "<=", 1.0),        # fails for grp a (2)
+        Expectation("id", "row_count", ">=", 2.0),
+    ]
+    out = evaluate_expectations(table, rules, by="grp").collect()
+    assert len(out) == 10  # 2 groups x 5 rules
+    got = {(r.grp, r.rule_id): r for r in out}
+    assert not got[("a", 0)].passed and got[("a", 0)].value == round(2 / 3, 6)
+    assert got[("b", 0)].passed and got[("b", 0)].value == 1.0
+    assert got[("a", 1)].passed and got[("a", 1)].value == 10.0
+    assert got[("a", 2)].passed and got[("a", 2)].value == 15.0
+    assert not got[("b", 2)].passed and got[("b", 2)].value == 150.0
+    assert not got[("a", 3)].passed and got[("a", 3)].value == 2.0
+    assert got[("b", 4)].passed and got[("b", 4)].value == 2.0
+    # bounds echoed for lineage
+    assert got[("a", 2)].bound_lo == 0.0 and got[("a", 2)].bound_hi == 50.0
+    assert got[("a", 1)].bound_hi is None
+
+
+def test_whole_table_and_summary(table):
+    rules = [
+        Expectation("id", "row_count", ">=", 5.0),
+        Expectation("v", "max", "<=", 50.0),  # fails (200)
+    ]
+    v = evaluate_expectations(table, rules)
+    rows = v.collect()
+    assert len(rows) == 2
+    s = expectation_summary(v).collect()[0]
+    assert s.n_rules == 2 and s.n_failed == 1 and not s.passed
+    per_grp = expectation_summary(
+        evaluate_expectations(table, rules, by="grp"), by="grp"
+    ).collect()
+    assert {r.grp: r.n_failed for r in per_grp} == {"a": 1, "b": 2}
+    # grp a fails row_count>=5 (3 rows); grp b fails both (2 rows, max 200)
+
+
+def test_approx_distinct_tier_close(table):
+    exact = evaluate_expectations(
+        table, [Expectation("lang", "distinct", "<=", 10.0)], by="grp"
+    ).collect()
+    approx = evaluate_expectations(
+        table, [Expectation("lang", "approx_distinct", "<=", 10.0)], by="grp"
+    ).collect()
+    e = {r.grp: r.value for r in exact}
+    a = {r.grp: r.value for r in approx}
+    for g in e:
+        assert abs(e[g] - a[g]) <= max(1.0, 0.1 * e[g])
+
+
+def test_check_schema_verdicts(spark, table):
+    contract = [
+        SchemaField("id", "bigint"),
+        SchemaField("grp", "string"),
+        SchemaField("v", "double"),          # actual: int → type_mismatch
+        SchemaField("missing_col", "string"),
+        SchemaField("lang", "string", nullable=False),  # actual nullable
+    ]
+    got = {r.column: r for r in check_schema(table, contract).collect()}
+    assert got["id"].status == "ok" and got["grp"].status == "ok"
+    assert got["v"].status == "type_mismatch" and got["v"].actual == "int"
+    assert got["missing_col"].status == "missing" and got["missing_col"].actual is None
+    assert got["lang"].status == "nullability"
+    # strict mode names physical columns the contract omits
+    strict = check_schema(table, contract[:2], strict=True).collect()
+    unexpected = {r.column for r in strict if r.status == "unexpected"}
+    assert unexpected == {"v", "lang"}
+    # nested types compare by normalized simpleString (whitespace-insensitive)
+    docs = spark.createDataFrame(
+        [("d", [("text", "x", None, 0)])],
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    ok = check_schema(docs, [
+        SchemaField("spans", "array< struct<kind:string, text:string, media_ref:string, offset:int> >"),
+    ]).collect()[0]
+    assert ok.status == "ok"
+
+
+def test_single_aggregation_pass(table):
+    """All rules must compile into ONE aggregate — a corpus-sized input
+    is scanned once regardless of rule count."""
+    rules = [
+        Expectation("v", "min", ">=", 0.0),
+        Expectation("v", "max", "<=", 1e9),
+        Expectation("v", "mean", "between", (0.0, 1e9)),
+        Expectation("v", "completeness", ">=", 0.0),
+        Expectation("id", "row_count", ">=", 0.0),
+    ]
+    plan = (
+        evaluate_expectations(table, rules, by="grp")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    import re
+
+    assert len(re.findall(r"\(\d+\) HashAggregate|HashAggregate", plan)) <= 4  # partial+final
+    assert "Generate" in plan or "Inline" in plan or "inline" in plan

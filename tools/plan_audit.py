@@ -639,6 +639,35 @@ def main() -> None:
     )
     sections.append(("duplicate_lines (stacked hash-aggs, map-side dedup of within-doc repeats)", p, notes))
 
+    # 42. expectation gate: ALL six rules in ONE aggregation over a scan
+    # pruned to exactly the ruled columns; the count(distinct) metric adds
+    # Spark's standard Expand two-round distinct-agg, still HashAggregate
+    # end to end; verdict explode is an inline over the aggregated row
+    # (no second scan, no join, no python)
+    q = REGISTRY["expectation_gate"][0](spark, SF)
+    p = plan_of(q)
+    notes = check(
+        "expectation_gate", p,
+        must=[r"HashAggregate", r"hashpartitioning\(source",
+              r"ReadSchema: struct<text:string,lang:string,source:string,n_chars:bigint>"],
+        must_not=[r"BatchEvalPython", r"SortAggregate", r"Window", r"Join",
+                  r"Exchange SinglePartition"],
+    )
+    sections.append(("expectation_gate (six rules, one pruned agg pass, inline verdicts)", p, notes))
+
+    # 43. funnel: per-step hash-aggs + equi-joins all keyed on user_id
+    # (exchange reuse), pruned event scan, no Window / no python / no
+    # single-partition exchange except the 3-row count tails
+    q = REGISTRY["funnel_conversion"][0](spark, SF)
+    p = plan_of(q)
+    notes = check(
+        "funnel_conversion", p,
+        must=[r"hashpartitioning\(user_id",
+              r"ReadSchema: struct<ts:timestamp,user_id:bigint,event_type:string>"],
+        must_not=[r"BatchEvalPython", r"Window", r"CartesianProduct"],
+    )
+    sections.append(("funnel_conversion (same-key agg/join ladder, pruned scan)", p, notes))
+
     with open("PLANS.md", "w") as f:
         f.write("# PLANS — physical-plan audit (auto-generated by tools/plan_audit.py)\n\n")
         f.write("Checked properties per plan; full `.explain('formatted')` output below.\n\n")
