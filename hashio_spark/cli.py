@@ -343,6 +343,54 @@ def cmd_leakage(args) -> int:
     return 1 if rows else 0
 
 
+def cmd_expect(args) -> int:
+    """Declarative data-quality gate (operators/expectations): evaluate a
+    JSON rules file against the input table, one verdict line per
+    (slice, rule), exit 1 on any failure — the CI convention.  The rules
+    file is a dict with optional keys:
+
+    * ``schema``: [{"name", "dtype", "nullable"?}] — scan-free physical
+      schema contract, checked FIRST (a wrong-typed column fails before
+      any executor time is spent);
+    * ``rules``: [{"column", "metric", "op", "bound"}] (bound is a
+      scalar, or [lo, hi] for op "between");
+    * ``by``: slice column(s) for per-group evaluation.
+    """
+    from hashio_spark.operators.expectations import (
+        Expectation, SchemaField, check_schema, evaluate_expectations,
+    )
+
+    with open(args.rules) as f:
+        spec = json.load(f)
+    spark = _spark(args)
+    inputs = list(dict.fromkeys(args.input))
+    df = spark.read.parquet(*inputs)
+
+    failed = 0
+    for r in check_schema(df, [SchemaField(s["name"], s["dtype"], s.get("nullable", True))
+                               for s in spec.get("schema", [])],
+                          strict=spec.get("strict_schema", False)).collect():
+        print(json.dumps({"check": "schema", "column": r.column, "expected": r.expected,
+                          "actual": r.actual, "status": r.status}))
+        failed += r.status not in ("ok",)
+    if failed:
+        # schema violations make metric bounds meaningless — stop before the scan
+        print(json.dumps({"schema_failed": failed, "rules_run": False}))
+        return 1
+
+    rules = [Expectation(r["column"], r["metric"], r["op"],
+                         tuple(r["bound"]) if isinstance(r["bound"], list) else float(r["bound"]))
+             for r in spec.get("rules", [])]
+    if rules:
+        by = spec.get("by")
+        for r in evaluate_expectations(df, rules, by=by).collect():
+            d = r.asDict()
+            print(json.dumps({k: v for k, v in d.items()}, default=str))
+            failed += not r.passed
+    print(json.dumps({"n_failed": failed, "passed": failed == 0}))
+    return 1 if failed else 0
+
+
 def cmd_migrate(args) -> int:
     """Re-layout a pre-partitioning legacy manifest store (reference
     ``--update-cache``, ``/root/reference/lib/hashio/cli.py:338-343``)."""
@@ -488,6 +536,11 @@ def main(argv: list[str] | None = None) -> int:
     lk.add_argument("--shingle-k", type=int, default=3)
     lk.add_argument("--seed", default="s42")
     lk.set_defaults(fn=cmd_leakage)
+
+    ex = sub.add_parser("expect", help="declarative schema + metric expectations from a JSON rules file (exit 1 on any failure)")
+    ex.add_argument("--input", required=True, action="append")
+    ex.add_argument("--rules", required=True, help="JSON file: {schema: [...], rules: [...], by: col}")
+    ex.set_defaults(fn=cmd_expect)
 
     mg = sub.add_parser("migrate", help="re-layout a legacy unpartitioned manifest store (--update-cache analog)")
     mg.add_argument("--manifest", required=True)

@@ -297,3 +297,39 @@ def test_cli_probe_without_blooms_errors(io_dirs, capsys):
     assert main(["probe", "--manifest", io_dirs["manifest"], "doc-000000000007"]) == 1
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert "bloom" in out["error"]
+
+
+def test_cli_expect_gate(spark, tmp_path, capsys):
+    """expect: schema contract stops before the scan; metric rules emit
+    per-(slice, rule) verdicts; exit 1 on any failure (CI convention)."""
+    docs = spark.createDataFrame(
+        [(1, "hello world", "a"), (2, None, "a"), (3, "ok", "b")],
+        "doc_id long, text string, grp string",
+    )
+    docs.write.mode("overwrite").parquet(str(tmp_path / "d.parquet"))
+
+    rules = {
+        "schema": [{"name": "doc_id", "dtype": "bigint"},
+                   {"name": "text", "dtype": "string"}],
+        "rules": [{"column": "text", "metric": "completeness", "op": ">=", "bound": 1.0},
+                  {"column": "doc_id", "metric": "row_count", "op": ">=", "bound": 1.0}],
+        "by": "grp",
+    }
+    rf = tmp_path / "rules.json"
+    rf.write_text(json.dumps(rules))
+    rc = main(["expect", "--input", str(tmp_path / "d.parquet"), "--rules", str(rf)])
+    out = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    assert rc == 1  # grp a has a null text -> completeness fails
+    verdicts = [d for d in out if "rule_id" in d]
+    assert len(verdicts) == 4  # 2 groups x 2 rules
+    assert out[-1] == {"n_failed": 1, "passed": False}
+
+    # schema mismatch: fails fast, rules never run
+    rules_bad = {"schema": [{"name": "doc_id", "dtype": "string"}],
+                 "rules": rules["rules"]}
+    rf.write_text(json.dumps(rules_bad))
+    rc = main(["expect", "--input", str(tmp_path / "d.parquet"), "--rules", str(rf)])
+    out = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    assert rc == 1
+    assert out[-1] == {"schema_failed": 1, "rules_run": False}
+    assert not any("rule_id" in d for d in out)
