@@ -109,6 +109,8 @@ BENCH_QUERIES = [
     "duplicate_lines",
     "expectation_gate",
     "funnel_conversion",
+    "ngram_containment",
+    "dedupe_normalized",
 ]
 
 _DOCS_PATH = "/tmp/hashio_spark_bench_docs.parquet"

@@ -3573,3 +3573,130 @@ FROM c ORDER BY step_id
 
 
 REGISTRY["funnel_conversion"] = (funnel_conversion_q, FUNNEL_CONVERSION_SQL)
+
+
+def ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment verify of the LSH candidates — the
+    excerpt/quote detector exact Jaccard misses: a 50-token doc fully
+    embedded in a 5000-token doc has Jaccard ≈ 0.01 but containment
+    C(A,B) = |A∩B|/|A| = 1.0.  Emits both directions per pair and keeps
+    pairs where either side is ≥ half-contained.
+
+    Same scale shape as :func:`ngram_jaccard`: candidates only (never
+    all-pairs), staged shingle-set projections, one intersect per pair;
+    the intersection is computed once and reused for both directions."""
+    cand = dedupe_minhash_lsh(spark, sf_dir)
+    d = _t(spark, sf_dir, "documents")
+    toked = d.select("doc_id", F.split(F.col("text"), " ").alias("_toks"))
+    tk = F.col("_toks")
+    idx = F.when(F.size(tk) >= 3, F.sequence(F.lit(1), F.size(tk) - 2)).otherwise(
+        F.array().cast("array<int>")
+    )
+    sets_ = toked.select(
+        "doc_id",
+        F.array_distinct(F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tk, i, 3)))).alias("sh"),
+    )
+    a = sets_.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sets_.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    j = cand.join(a, "doc_a").join(b, "doc_b")
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double")
+    out = j.select(
+        "doc_a", "doc_b",
+        F.round(inter / F.size("sh_a").cast("double"), 6).alias("containment_a"),
+        F.round(inter / F.size("sh_b").cast("double"), 6).alias("containment_b"),
+    )
+    return out.filter((F.col("containment_a") >= 0.5) | (F.col("containment_b") >= 0.5))
+
+
+NGRAM_CONTAINMENT_SQL = """
+WITH s AS (
+  SELECT doc_id,
+    list_transform(generate_series(1, greatest(len(string_split(text,' ')) - 2, 0)),
+                   i -> array_to_string((string_split(text,' '))[i:i+2], ' ')) AS shingles
+  FROM documents
+), sig AS (
+  SELECT doc_id,
+    list_min(list_transform(shingles, x -> md5(concat('0|', x)))) AS sig0,
+    list_min(list_transform(shingles, x -> md5(concat('1|', x)))) AS sig1,
+    list_min(list_transform(shingles, x -> md5(concat('2|', x)))) AS sig2,
+    list_min(list_transform(shingles, x -> md5(concat('3|', x)))) AS sig3
+  FROM s
+), bands AS (
+  SELECT doc_id, concat('b0', '_', sig0, '_', sig1) AS band FROM sig WHERE sig0 IS NOT NULL
+  UNION ALL
+  SELECT doc_id, concat('b1', '_', sig2, '_', sig3) AS band FROM sig WHERE sig0 IS NOT NULL
+), sizes AS (
+  SELECT band, count(*) AS n FROM bands GROUP BY band
+), ok AS (
+  SELECT bands.doc_id, bands.band FROM bands JOIN sizes USING (band)
+  WHERE sizes.n > 1 AND sizes.n <= 64
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM ok a JOIN ok b ON a.band = b.band AND a.doc_id < b.doc_id
+), sets AS (
+  SELECT doc_id, list_distinct(shingles) AS sh FROM s
+), scored AS (
+  SELECT doc_a, doc_b,
+    round(cast(len(list_intersect(sa.sh, sb.sh)) AS double) / cast(len(sa.sh) AS double), 6) AS containment_a,
+    round(cast(len(list_intersect(sa.sh, sb.sh)) AS double) / cast(len(sb.sh) AS double), 6) AS containment_b
+  FROM cand JOIN sets sa ON cand.doc_a = sa.doc_id JOIN sets sb ON cand.doc_b = sb.doc_id
+)
+SELECT * FROM scored WHERE containment_a >= 0.5 OR containment_b >= 0.5
+"""
+
+
+REGISTRY["ngram_containment"] = (ngram_containment, NGRAM_CONTAINMENT_SQL)
+
+
+def dedupe_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalized-text exact dedup — the tier between raw-digest exact
+    dedup (misses case/whitespace/punct variants) and MinHash (overkill
+    for them): lower-case, strip non-alphanumerics, collapse whitespace,
+    then hash-agg on the normalized digest.
+
+    Scale shape: the normalization is a pure codegen projection (three
+    JVM regex/string ops, no UDF), the digest keeps the shuffle key at
+    32 bytes (8 with the xxhash64 production tier) regardless of doc
+    size, and the agg is a map-side-partial HashAggregate — the same
+    plan as ``dedupe_exact`` at any corpus size.
+
+    The corpus is augmented with a deterministic case/punctuation-mangled
+    copy of every 50th doc (the variants a crawler actually produces):
+    exact digest dedup finds NONE of them, this tier finds all — the
+    self-demonstrating fixture, replicated verbatim in the oracle SQL."""
+    d = _t(spark, sf_dir, "documents")
+    mangled = d.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + F.lit(1_000_000_000)).alias("doc_id"),
+        F.concat(F.upper(F.col("text")), F.lit("!!  ")).alias("text"),
+    )
+    aug = d.select("doc_id", "text").unionByName(mangled)
+    norm = F.trim(F.regexp_replace(
+        F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+        " +", " "))
+    hashed = aug.select("doc_id", F.md5(norm).alias("norm_digest"))
+    return (
+        hashed.groupBy("norm_digest")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.min("doc_id").alias("first_doc"),
+             F.max("doc_id").alias("last_doc"))
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+DEDUPE_NORMALIZED_SQL = """
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000000 AS doc_id, concat(upper(text), '!!  ') AS text
+  FROM documents WHERE doc_id % 50 = 0
+), hashed AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_digest
+  FROM aug
+)
+SELECT norm_digest, count(*) AS n_docs, min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM hashed GROUP BY norm_digest HAVING count(*) >= 2
+"""
+
+
+REGISTRY["dedupe_normalized"] = (dedupe_normalized, DEDUPE_NORMALIZED_SQL)

@@ -426,3 +426,38 @@ def test_kmeans_refine_empty_list_keeps_previous_centroid(spark):
     assert refined[2] == [-1.0, 0.0]  # empty list -> previous centroid kept
     with pytest.raises(ValueError):
         S.kmeans_refine(emb, "embedding", [], n_iters=1)
+
+
+def test_ngram_containment_detects_full_embedding(spark, tmp_path):
+    """A doc whose shingle set is a strict subset of another's scores
+    containment 1.0 on its side (the excerpt case Jaccard understates)."""
+    from hashio_spark.queries import REGISTRY
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "alpha beta gamma delta epsilon zeta omega")],
+        "doc_id long, text string",
+    )
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = REGISTRY["ngram_containment"][0](spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.containment_a == 1.0  # every A-shingle present in B
+    assert r.containment_b == 0.8  # 4 of B's 5 shingles in A
+
+
+def test_dedupe_normalized_catches_case_punct_variants(spark):
+    """The mangled-copy fixture: exact digest dedup over the augmented
+    corpus finds NOTHING, normalized dedup finds exactly n_docs/50 pairs."""
+    from hashio_spark.queries import REGISTRY
+
+    rows = REGISTRY["dedupe_normalized"][0](spark, "/root/testdata/sf0.001").collect()
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    n = d.count()
+    expected = len([1 for (i,) in d.select("doc_id").collect() if i % 50 == 0])
+    assert len(rows) == expected and all(r.n_docs == 2 for r in rows)
+    mang = d.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 1000000000).alias("doc_id"),
+        F.concat(F.upper("text"), F.lit("!!  ")).alias("text"))
+    aug = d.select("doc_id", "text").unionByName(mang)
+    assert aug.groupBy(F.md5("text")).count().filter("count >= 2").count() == 0

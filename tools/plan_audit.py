@@ -668,6 +668,20 @@ def main() -> None:
     )
     sections.append(("funnel_conversion (same-key agg/join ladder, pruned scan)", p, notes))
 
+    # 44. normalized dedup: codegen-only normalization projection into a
+    # partial/final HashAggregate on the 32-byte digest; no UDF, no
+    # window, no sort-agg, scan pruned to (doc_id, text)
+    q = REGISTRY["dedupe_normalized"][0](spark, SF)
+    p = plan_of(q)
+    notes = check(
+        "dedupe_normalized", p,
+        must=[r"HashAggregate", r"partial_count",
+              r"ReadSchema: struct<doc_id:bigint,text:string>"],
+        must_not=[r"BatchEvalPython", r"SortAggregate", r"Window",
+                  r"Exchange SinglePartition"],
+    )
+    sections.append(("dedupe_normalized (codegen normalize -> digest hash-agg)", p, notes))
+
     with open("PLANS.md", "w") as f:
         f.write("# PLANS — physical-plan audit (auto-generated by tools/plan_audit.py)\n\n")
         f.write("Checked properties per plan; full `.explain('formatted')` output below.\n\n")
