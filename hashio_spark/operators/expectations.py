@@ -95,7 +95,12 @@ def evaluate_expectations(
     by_cols = [by] if isinstance(by, str) else list(by or [])
     aggs = [F.round(_metric_expr(r), 6).alias(f"_m{i}") for i, r in enumerate(rules)]
     agg = df.groupBy(*by_cols).agg(*aggs) if by_cols else df.agg(*aggs)
+    return agg.select(*by_cols, F.inline(F.array(*_verdict_structs(rules))))
 
+
+def _verdict_structs(rules: list[Expectation]) -> list[Column]:
+    """Per-rule verdict structs over the aggregated row's ``_m{i}``
+    columns (shared by the batch and streaming evaluators)."""
     structs = []
     for i, r in enumerate(rules):
         v = F.col(f"_m{i}")
@@ -120,7 +125,7 @@ def evaluate_expectations(
                 ok.alias("passed"),
             )
         )
-    return agg.select(*by_cols, F.inline(F.array(*structs)))
+    return structs
 
 
 @dataclass(frozen=True)

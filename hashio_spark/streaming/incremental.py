@@ -158,3 +158,43 @@ def stream_dedupe_gate(
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.trigger(availableNow=True).start()
+
+
+def expectation_monitor_stream(
+    stream_df: DataFrame,
+    rules,
+    ts_col: str = "ts",
+    window: str = "5 minutes",
+    by: str | list[str] | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked windowed expectation monitor: the declarative rules of
+    ``operators/expectations`` evaluated per event-time window (append
+    mode) — the streaming twin of ``evaluate_expectations``.
+
+    Every metric is algebraic, so the windowed aggregation keeps
+    O(windows × slices × rules) state and emits finalized verdict rows
+    once the watermark passes each window.  Exact ``distinct`` is not
+    supported by streaming aggregations (unbounded per-window state);
+    it is transparently evaluated as ``approx_distinct`` (HLL, mergeable,
+    bounded) — the same scale tier the batch evaluator offers.
+    """
+    from hashio_spark.operators.expectations import (
+        Expectation, _metric_expr, _verdict_structs,
+    )
+
+    rules = [
+        Expectation(r.column, "approx_distinct", r.op, r.bound)
+        if r.metric == "distinct" else r
+        for r in rules
+    ]
+    if not rules:
+        raise ValueError("no expectations given")
+    by_cols = [by] if isinstance(by, str) else list(by or [])
+    aggs = [F.round(_metric_expr(r), 6).alias(f"_m{i}") for i, r in enumerate(rules)]
+    agg = (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window), *by_cols)
+        .agg(*aggs)
+    )
+    return agg.select("window", *by_cols, F.inline(F.array(*_verdict_structs(rules))))

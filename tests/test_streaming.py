@@ -197,3 +197,43 @@ def test_stream_dedupe_gate_availablenow(spark, tmp_path):
     q.awaitTermination(120)
     got = sorted(r.doc_id for r in spark.read.parquet(str(tmp_path / "sout")).collect())
     assert got == [1, 3]
+
+
+def test_expectation_monitor_stream(spark, tmp_path):
+    """Windowed streaming expectations: two event-time windows, per-window
+    verdicts; exact `distinct` transparently runs as approx_distinct."""
+    from hashio_spark.operators.expectations import Expectation
+    from hashio_spark.streaming.incremental import expectation_monitor_stream
+
+    src_dir = str(tmp_path / "exsrc")
+    rows = [
+        # window 1: v complete, two langs
+        ("2024-01-01 00:00:30", 10, "en"),
+        ("2024-01-01 00:01:00", 20, "de"),
+        # window 2 (>=5min later): one null v -> completeness fails
+        ("2024-01-01 00:06:00", 30, "en"),
+        ("2024-01-01 00:06:30", None, "en"),
+    ]
+    df = spark.createDataFrame(rows, "ts_s string, v int, lang string").select(
+        F.to_timestamp("ts_s").alias("ts"), "v", "lang"
+    )
+    df.write.mode("overwrite").parquet(src_dir)
+    stream = spark.readStream.schema(spark.read.parquet(src_dir).schema).parquet(src_dir)
+    rules = [
+        Expectation("v", "completeness", ">=", 1.0),
+        Expectation("lang", "distinct", "<=", 1.0),  # runs as approx_distinct
+    ]
+    out = expectation_monitor_stream(stream, rules, ts_col="ts", window="5 minutes")
+    q = (
+        out.writeStream.outputMode("complete").format("memory").queryName("exmon")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from exmon").collect()
+    assert len(got) == 4  # 2 windows x 2 rules
+    by_key = {(r.window.start.minute, r.rule_id): r for r in got}
+    assert by_key[(0, 0)].passed and by_key[(0, 0)].value == 1.0
+    assert not by_key[(5, 0)].passed and by_key[(5, 0)].value == 0.5
+    assert not by_key[(0, 1)].passed  # 2 langs > 1
+    assert by_key[(5, 1)].passed
+    assert all(r.metric == "approx_distinct" for r in got if r.rule_id == 1)
