@@ -100,7 +100,13 @@ def evaluate_expectations(
 
 def _verdict_structs(rules: list[Expectation]) -> list[Column]:
     """Per-rule verdict structs over the aggregated row's ``_m{i}``
-    columns (shared by the batch and streaming evaluators)."""
+    columns (shared by the batch and streaming evaluators).
+
+    A NULL metric (empty slice, or min/max/mean over an all-null column)
+    FAILS its rule — ``passed`` is coalesced to false, never NULL, so the
+    summary's failure count and a CI gate agree (a three-valued ``passed``
+    would make ``sum(when(~passed, 1))`` silently skip exactly the rows a
+    gate most needs to see)."""
     structs = []
     for i, r in enumerate(rules):
         v = F.col(f"_m{i}")
@@ -122,7 +128,7 @@ def _verdict_structs(rules: list[Expectation]) -> list[Column]:
                 v.alias("value"),
                 (F.lit(lo).cast("double") if lo is not None else F.lit(None).cast("double")).alias("bound_lo"),
                 (F.lit(hi).cast("double") if hi is not None else F.lit(None).cast("double")).alias("bound_hi"),
-                ok.alias("passed"),
+                F.coalesce(ok, F.lit(False)).alias("passed"),
             )
         )
     return structs

@@ -136,3 +136,89 @@ def test_single_aggregation_pass(table):
 
     assert len(re.findall(r"\(\d+\) HashAggregate|HashAggregate", plan)) <= 4  # partial+final
     assert "Generate" in plan or "Inline" in plan or "inline" in plan
+
+
+def test_expectations_match_pandas_model(spark):
+    """Property: over randomized small tables, every (slice, rule) verdict
+    equals a pandas/python model of the same rounded-metric semantics."""
+    import math
+
+    import pandas as pd
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    rows_strategy = st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),                      # grp
+            st.one_of(st.none(), st.integers(-1000, 1000)),   # v
+            st.sampled_from(["en", "de", "fr"]),              # lang
+        ),
+        min_size=1,
+        max_size=25,
+    )
+
+    rules = [
+        Expectation("v", "completeness", ">=", 0.5),
+        Expectation("v", "min", ">=", -100.0),
+        Expectation("v", "max", "<=", 100.0),
+        Expectation("v", "mean", "between", (-50.0, 50.0)),
+        Expectation("lang", "distinct", "<=", 2.0),
+        Expectation("v", "row_count", ">=", 2.0),
+    ]
+
+    def model(pdf: pd.DataFrame, grp: str):
+        g = pdf[pdf.grp == grp]
+        n, nv = len(g), g.v.notna().sum()
+        vals = [
+            round(nv / n, 6),
+            round(float(g.v.min()), 6) if nv else None,
+            round(float(g.v.max()), 6) if nv else None,
+            round(float(g.v.sum()) / nv, 6) if nv else None,
+            float(g.lang.nunique()),
+            float(n),
+        ]
+        ok = [
+            vals[0] >= 0.5,
+            (vals[1] is not None) and vals[1] >= -100.0,
+            (vals[2] is not None) and vals[2] <= 100.0,
+            (vals[3] is not None) and -50.0 <= vals[3] <= 50.0,
+            vals[4] <= 2.0,
+            vals[5] >= 2.0,
+        ]
+        return vals, ok
+
+    @settings(max_examples=12, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(rows_strategy)
+    def check(rows):
+        df = spark.createDataFrame(rows, "grp string, v long, lang string")
+        out = evaluate_expectations(df, rules, by="grp").collect()
+        groups = {r[0] for r in rows}
+        assert len(out) == len(groups) * len(rules)
+        pdf = pd.DataFrame(rows, columns=["grp", "v", "lang"])
+        for r in out:
+            vals, ok = model(pdf, r.grp)
+            want_v, want_ok = vals[r.rule_id], ok[r.rule_id]
+            if want_v is None:
+                # NULL metric -> hard fail, and passed is BOOLEAN false
+                # (not SQL NULL), so summary counts agree with CI gates
+                assert r.value is None and r.passed is False
+            else:
+                assert r.value is not None
+                assert math.isclose(r.value, want_v, rel_tol=0, abs_tol=1e-9), (
+                    r.rule_id, r.grp, r.value, want_v)
+                assert bool(r.passed) == want_ok, (r.rule_id, r.grp)
+        # a NULL metric must never count as passed
+
+    check()
+
+
+def test_null_metric_fails_and_counts_in_summary(spark):
+    """All-null slice: value NULL, passed FALSE (not NULL), and the
+    failure shows up in expectation_summary / gates."""
+    df = spark.createDataFrame([("a", None), ("a", None)], "grp string, v int")
+    v = evaluate_expectations(df, [Expectation("v", "min", ">=", 0.0)], by="grp")
+    rows = v.collect()
+    assert rows[0].value is None and rows[0].passed is False
+    s = expectation_summary(v).collect()[0]
+    assert s.n_failed == 1 and not s.passed
