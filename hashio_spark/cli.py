@@ -343,6 +343,27 @@ def cmd_leakage(args) -> int:
     return 1 if rows else 0
 
 
+def cmd_history(args) -> int:
+    """Audit trail for one partition across the run history (manifest-only:
+    digest/row_count/lineage per run, changed = digest moved vs the same
+    algo's previous run)."""
+    from hashio_spark.operators.verify import partition_history
+    from hashio_spark.sources.manifest_store import ManifestStore
+
+    spark = _spark(args)
+    store = ManifestStore(spark, args.manifest)
+    # manifest partition_id is integral; accept "3" from the shell
+    pid = int(args.partition_id) if str(args.partition_id).lstrip("-").isdigit() else args.partition_id
+    rows = partition_history(store, pid, algo=args.algo).collect()
+    for r in rows:
+        print(json.dumps({"run_id": r.run_id, "algo": r.algo, "digest": r.digest,
+                          "row_count": r.row_count, "changed": bool(r.changed),
+                          "lineage": r.lineage, "updated_at": str(r.updated_at)}))
+    print(json.dumps({"partition_id": args.partition_id, "entries": len(rows),
+                      "changes": sum(1 for r in rows if r.changed)}))
+    return 0
+
+
 def cmd_expect(args) -> int:
     """Declarative data-quality gate (operators/expectations): evaluate a
     JSON rules file against the input table, one verdict line per
@@ -536,6 +557,12 @@ def main(argv: list[str] | None = None) -> int:
     lk.add_argument("--shingle-k", type=int, default=3)
     lk.add_argument("--seed", default="s42")
     lk.set_defaults(fn=cmd_leakage)
+
+    hi = sub.add_parser("history", help="one partition's audit trail across runs (manifest-only 'git log' for a slice)")
+    hi.add_argument("--manifest", required=True)
+    hi.add_argument("--partition-id", required=True)
+    hi.add_argument("--algo", default=None)
+    hi.set_defaults(fn=cmd_history)
 
     ex = sub.add_parser("expect", help="declarative schema + metric expectations from a JSON rules file (exit 1 on any failure)")
     ex.add_argument("--input", required=True, action="append")

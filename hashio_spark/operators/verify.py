@@ -156,3 +156,30 @@ def snapshot_diff(
         j.select(F.col("_key").alias(key), change.alias("change"))
         .filter(F.col("change").isNotNull())
     )
+
+
+def partition_history(store, partition_id: str, algo: str | None = None) -> DataFrame:
+    """Audit trail for ONE partition across the store's whole run history
+    — "git log" for a table slice, answered from the manifest alone (no
+    corpus rescan at any scale; the filtered slice is O(runs × algos)
+    rows).
+
+    Each row carries the run's digest, row_count and lineage plus
+    ``changed`` = digest differs from the SAME algo's previous run
+    (first appearance counts as changed).  Ordering is by ``updated_at``
+    then run_id — the merge timeline, not lexical run names.  The window
+    is partitioned per algo over a few-row slice, so the single-partition
+    sort Spark plans here is manifest-sized, never corpus-sized.
+    """
+    from pyspark.sql import Window
+
+    m = store.read().filter(F.col("partition_id") == partition_id)
+    if algo is not None:
+        m = m.filter(F.col("algo") == algo)
+    w = Window.partitionBy("algo").orderBy("updated_at", "run_id")
+    prev = F.lag("digest").over(w)
+    return (
+        m.select("run_id", "algo", "digest", "row_count", "lineage", "updated_at")
+        .withColumn("changed", prev.isNull() | (F.col("digest") != prev))
+        .orderBy("updated_at", "run_id", "algo")
+    )

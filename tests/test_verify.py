@@ -107,3 +107,40 @@ def test_dedupe_manifests_four_categories(spark):
     assert ("e", None, "only_target") in out
     assert ("c", "c2", "dupe_moved") in out
     assert len(out) == 7
+
+
+def test_partition_history_audit_trail(spark, tmp_path):
+    """Three runs over one partition: changed flags mark first appearance
+    and digest moves, per algo; manifest-only (no corpus involved)."""
+    import datetime
+
+    from hashio_spark.operators.verify import partition_history
+    from hashio_spark.sources.manifest_store import ManifestStore, MANIFEST_SCHEMA
+
+    store = ManifestStore(spark, str(tmp_path / "m"))
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def rows(run, digest, ts_off, algo="xxh64"):
+        return spark.createDataFrame(
+            [(run, 3, algo, digest, 10, {"n": "10"}, f"job={run}",
+              t0 + datetime.timedelta(hours=ts_off))],
+            MANIFEST_SCHEMA,
+        )
+
+    store.merge(rows("r1", "aaaa", 0))
+    store.merge(rows("r2", "aaaa", 1))   # unchanged
+    store.merge(rows("r3", "bbbb", 2))   # changed
+    store.merge(rows("r2", "zzzz", 1, algo="md5"))  # other algo, own chain
+    # another partition must not leak in
+    store.merge(spark.createDataFrame(
+        [("r1", 4, "xxh64", "cccc", 5, {}, "", t0)], MANIFEST_SCHEMA))
+
+    h = partition_history(store, 3).collect()
+    assert [r.run_id for r in h] == ["r1", "r2", "r2", "r3"]
+    x = [(r.run_id, r.algo, bool(r.changed)) for r in h]
+    assert ("r1", "xxh64", True) in x     # first appearance
+    assert ("r2", "xxh64", False) in x    # same digest
+    assert ("r3", "xxh64", True) in x     # digest moved
+    assert ("r2", "md5", True) in x       # independent per-algo chain
+    only = partition_history(store, 3, algo="xxh64").collect()
+    assert all(r.algo == "xxh64" for r in only) and len(only) == 3
