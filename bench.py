@@ -111,6 +111,9 @@ BENCH_QUERIES = [
     "funnel_conversion",
     "ngram_containment",
     "dedupe_normalized",
+    "q3_shipping_priority",
+    "q10_returned_items",
+    "q18_large_volume",
 ]
 
 _DOCS_PATH = "/tmp/hashio_spark_bench_docs.parquet"

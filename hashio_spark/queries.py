@@ -3700,3 +3700,126 @@ FROM hashed GROUP BY norm_digest HAVING count(*) >= 2
 
 
 REGISTRY["dedupe_normalized"] = (dedupe_normalized, DEDUPE_NORMALIZED_SQL)
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 variant (the testdata's orders table carries
+    o_orderpriority, not o_shippriority): revenue of unshipped orders for
+    one market segment.  Plan shape: customer is the broadcast dim into
+    the orders filter, the lineitem fact joins on o_orderkey with both
+    date filters pushed to the scans, and the top-10 is
+    TakeOrderedAndProject (per-partition heaps, never a global sort)."""
+    cutoff = F.lit("1998-06-01").cast("timestamp")
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    j = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        # decimal-space round before the double cast (see q10)
+        .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
+    )
+    return j.orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey").limit(10)
+
+
+Q3_SQL = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+  cast(round(sum(cast(l_extendedprice AS decimal(18,2)) * (cast(1 AS decimal(18,2)) - cast(l_discount AS decimal(18,2)))), 2) AS double) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10
+"""
+
+
+REGISTRY["q3_shipping_priority"] = (q3_shipping_priority, Q3_SQL)
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: revenue lost to returned items per customer in one
+    quarter.  customer and nation are broadcast dims; the date filter
+    prunes the orders side before the fact join; top-20 via
+    TakeOrderedAndProject."""
+    lo = F.lit("1996-01-01").cast("timestamp")
+    hi = F.lit("1996-04-01").cast("timestamp")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    j = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+        # round in exact DECIMAL space, THEN cast: rounding after the
+        # double cast is engine-dependent at .005 boundaries
+        .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
+    )
+    return j.orderBy(F.col("revenue").desc(), "c_custkey").limit(20)
+
+
+Q10_SQL = """
+SELECT c_custkey, c_name, n_name, c_acctbal,
+  cast(round(sum(cast(l_extendedprice AS decimal(18,2)) * (cast(1 AS decimal(18,2)) - cast(l_discount AS decimal(18,2)))), 2) AS double) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+GROUP BY c_custkey, c_name, n_name, c_acctbal
+ORDER BY revenue DESC, c_custkey LIMIT 20
+"""
+
+
+REGISTRY["q10_returned_items"] = (q10_returned_items, Q10_SQL)
+
+
+def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: customers with orders whose total quantity exceeds a
+    threshold.  The HAVING-side aggregation runs over lineitem first;
+    the surviving order set is ~1% of orders and is BROADCAST into the
+    orders/customer joins — the group-then-filter shape keeps the only
+    corpus-sized work in one hash-agg, and nothing re-shuffles the fact
+    table for the joins."""
+    l = _t(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.round(F.sum(_dec("l_quantity")), 2).cast("double").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250.0)
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    j = (
+        o.join(F.broadcast(big), o["o_orderkey"] == big["l_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .select("c_custkey", "c_name", "o_orderkey", "o_orderdate",
+                F.round(_dec("o_totalprice").cast("double"), 2).alias("o_total"),
+                "sum_qty")
+    )
+    return j.orderBy(F.col("o_total").desc(), "o_orderkey").limit(10)
+
+
+Q18_SQL = """
+WITH big AS (
+  SELECT l_orderkey,
+         cast(round(sum(cast(l_quantity AS decimal(18,2))), 2) AS double) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING cast(round(sum(cast(l_quantity AS decimal(18,2))), 2) AS double) > 250.0
+)
+SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+       round(cast(o_totalprice AS double), 2) AS o_total, sum_qty
+FROM orders JOIN big ON o_orderkey = big.l_orderkey
+  JOIN customer ON o_custkey = c_custkey
+ORDER BY o_total DESC, o_orderkey LIMIT 10
+"""
+
+
+REGISTRY["q18_large_volume"] = (q18_large_volume, Q18_SQL)

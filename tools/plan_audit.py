@@ -682,6 +682,31 @@ def main() -> None:
     )
     sections.append(("dedupe_normalized (codegen normalize -> digest hash-agg)", p, notes))
 
+    # 45. TPC-H q3/q10: dims broadcast, fact never re-shuffled for the
+    # joins, top-k is TakeOrderedAndProject (no global Window sort)
+    for qn in ("q3_shipping_priority", "q10_returned_items"):
+        q = REGISTRY[qn][0](spark, SF)
+        p = plan_of(q)
+        notes = check(
+            qn, p,
+            must=[r"BroadcastHashJoin", r"TakeOrderedAndProject"],
+            must_not=[r"BatchEvalPython", r"Window", r"CartesianProduct",
+                      r"Exchange SinglePartition"],
+        )
+        sections.append((f"{qn} (broadcast dims, TakeOrdered top-k)", p, notes))
+
+    # 46. TPC-H q18: the only corpus-sized work is ONE lineitem hash-agg;
+    # the filtered big-order set broadcasts into orders/customer
+    q = REGISTRY["q18_large_volume"][0](spark, SF)
+    p = plan_of(q)
+    notes = check(
+        "q18_large_volume", p,
+        must=[r"HashAggregate", r"BroadcastHashJoin", r"TakeOrderedAndProject"],
+        must_not=[r"BatchEvalPython", r"Window", r"SortMergeJoin",
+                  r"CartesianProduct"],
+    )
+    sections.append(("q18_large_volume (group-then-filter broadcast, one fact agg)", p, notes))
+
     with open("PLANS.md", "w") as f:
         f.write("# PLANS — physical-plan audit (auto-generated by tools/plan_audit.py)\n\n")
         f.write("Checked properties per plan; full `.explain('formatted')` output below.\n\n")
