@@ -114,6 +114,7 @@ BENCH_QUERIES = [
     "q3_shipping_priority",
     "q10_returned_items",
     "q18_large_volume",
+    "latest_event_per_user",
 ]
 
 _DOCS_PATH = "/tmp/hashio_spark_bench_docs.parquet"

@@ -3823,3 +3823,45 @@ ORDER BY o_total DESC, o_orderkey LIMIT 10
 
 
 REGISTRY["q18_large_volume"] = (q18_large_volume, Q18_SQL)
+
+
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest record per key — the CDC-compaction / upsert-view shape.
+
+    Spark-first: ``max_by`` over a deterministic (ts, event_id) order
+    key compiles to ONE HashAggregate partial/final pair — the naive
+    ``row_number() OVER (PARTITION BY user ORDER BY ts DESC) = 1``
+    window costs a full shuffle PLUS a per-group sort of every row; the
+    arg-max agg shuffles one candidate row per (mapper, user) and sorts
+    nothing.  Ties on ts break by event_id (content-deterministic, so
+    the result is layout-independent)."""
+    e = _t(spark, sf_dir, "events")
+    pick = F.struct(F.col("ts"), F.col("event_id"))
+    row = F.struct(F.col("event_id"), F.col("ts"), F.col("event_type"), F.col("value"))
+    return (
+        e.groupBy("user_id")
+        .agg(F.max_by(row, pick).alias("_r"))
+        .select(
+            "user_id",
+            F.col("_r.event_id").alias("event_id"),
+            F.col("_r.ts").alias("ts"),
+            F.col("_r.event_type").alias("event_type"),
+            F.round(F.col("_r.value"), 6).alias("value"),
+        )
+    )
+
+
+# the ORACLE uses the naive window form (values-only contract; DuckDB's
+# arg_max lacks composite order keys) — the Spark side deliberately does
+# NOT, that is the point of the operator
+LATEST_EVENT_SQL = """
+SELECT user_id, event_id, ts, event_type, round(value, 6) AS value
+FROM (
+  SELECT user_id, event_id, ts, event_type, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+REGISTRY["latest_event_per_user"] = (latest_event_per_user, LATEST_EVENT_SQL)

@@ -707,6 +707,17 @@ def main() -> None:
     )
     sections.append(("q18_large_volume (group-then-filter broadcast, one fact agg)", p, notes))
 
+    # 47. latest-per-key: max_by arg-max agg — HashAggregate pair, NO
+    # window, NO per-group sort (the CDC-compaction shape done right)
+    q = REGISTRY["latest_event_per_user"][0](spark, SF)
+    p = plan_of(q)
+    notes = check(
+        "latest_event_per_user", p,
+        must=[r"HashAggregate", r"max_by", r"hashpartitioning\(user_id"],
+        must_not=[r"BatchEvalPython", r"Window", r"SortAggregate", r"Join"],
+    )
+    sections.append(("latest_event_per_user (arg-max agg, no window/sort)", p, notes))
+
     with open("PLANS.md", "w") as f:
         f.write("# PLANS — physical-plan audit (auto-generated by tools/plan_audit.py)\n\n")
         f.write("Checked properties per plan; full `.explain('formatted')` output below.\n\n")
