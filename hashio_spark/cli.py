@@ -385,19 +385,49 @@ def cmd_expect(args) -> int:
         spec = json.load(f)
     spark = _spark(args)
     inputs = list(dict.fromkeys(args.input))
-    df = spark.read.parquet(*inputs)
+    quarantined = 0
+    if args.format == "jsonl":
+        # JSONL tier: schema comes FROM the contract (enforced at the
+        # scan); corrupt lines are quarantined, reported, and fail the
+        # gate — but the metric rules still run on the good split
+        from pyspark.sql import types as T
+
+        from hashio_spark.sources.jsonl import quarantine_summary, read_jsonl_docs
+
+        if not spec.get("schema"):
+            print(json.dumps({"error": "jsonl format needs a schema block in the rules file"}),
+                  file=sys.stderr)
+            return 2
+        scan_schema = T.StructType([
+            T.StructField(s["name"], T._parse_datatype_string(s["dtype"]), s.get("nullable", True))
+            for s in spec["schema"]
+        ])
+        required = tuple(s["name"] for s in spec["schema"] if not s.get("nullable", True))
+        batch = read_jsonl_docs(spark, inputs, scan_schema,
+                                required=required or (spec["schema"][0]["name"],))
+        for r in quarantine_summary(batch.bad).collect():
+            print(json.dumps({"check": "quarantine", "reason": r.reason,
+                              "n_lines": r.n_lines}))
+            quarantined += r.n_lines
+        df = batch.good
+    else:
+        df = spark.read.parquet(*inputs)
 
     failed = 0
-    for r in check_schema(df, [SchemaField(s["name"], s["dtype"], s.get("nullable", True))
-                               for s in spec.get("schema", [])],
-                          strict=spec.get("strict_schema", False)).collect():
-        print(json.dumps({"check": "schema", "column": r.column, "expected": r.expected,
-                          "actual": r.actual, "status": r.status}))
-        failed += r.status not in ("ok",)
-    if failed:
-        # schema violations make metric bounds meaningless — stop before the scan
-        print(json.dumps({"schema_failed": failed, "rules_run": False}))
-        return 1
+    if args.format != "jsonl":
+        # parquet tier: the schema contract is checked against the
+        # physical file schema (jsonl already ENFORCED it at the scan —
+        # re-checking there would only flag Spark's forced-nullable read)
+        for r in check_schema(df, [SchemaField(s["name"], s["dtype"], s.get("nullable", True))
+                                   for s in spec.get("schema", [])],
+                              strict=spec.get("strict_schema", False)).collect():
+            print(json.dumps({"check": "schema", "column": r.column, "expected": r.expected,
+                              "actual": r.actual, "status": r.status}))
+            failed += r.status not in ("ok",)
+        if failed:
+            # schema violations make metric bounds meaningless — stop before the scan
+            print(json.dumps({"schema_failed": failed, "rules_run": False}))
+            return 1
 
     rules = [Expectation(r["column"], r["metric"], r["op"],
                          tuple(r["bound"]) if isinstance(r["bound"], list) else float(r["bound"]))
@@ -408,7 +438,9 @@ def cmd_expect(args) -> int:
             d = r.asDict()
             print(json.dumps({k: v for k, v in d.items()}, default=str))
             failed += not r.passed
-    print(json.dumps({"n_failed": failed, "passed": failed == 0}))
+    failed += quarantined
+    print(json.dumps({"n_failed": failed, "quarantined": quarantined,
+                      "passed": failed == 0}))
     return 1 if failed else 0
 
 
@@ -567,6 +599,8 @@ def main(argv: list[str] | None = None) -> int:
     ex = sub.add_parser("expect", help="declarative schema + metric expectations from a JSON rules file (exit 1 on any failure)")
     ex.add_argument("--input", required=True, action="append")
     ex.add_argument("--rules", required=True, help="JSON file: {schema: [...], rules: [...], by: col}")
+    ex.add_argument("--format", default="parquet", choices=["parquet", "jsonl"],
+                    help="jsonl: schema block drives the scan; corrupt lines are quarantined and fail the gate")
     ex.set_defaults(fn=cmd_expect)
 
     mg = sub.add_parser("migrate", help="re-layout a legacy unpartitioned manifest store (--update-cache analog)")

@@ -194,3 +194,29 @@ def expectation_summary(verdicts: DataFrame, by: str | list[str] | None = None) 
         F.sum(F.when(~F.col("passed"), 1).otherwise(0)).cast("long").alias("n_failed"),
         (F.sum(F.when(~F.col("passed"), 1).otherwise(0)) == 0).alias("passed"),
     )
+
+
+def schema_diff(before: DataFrame, after: DataFrame) -> DataFrame:
+    """Schema evolution report between two corpus versions — scan-free
+    (pure metadata), the pre-flight diff a pipeline runs before trusting
+    a new drop: one row per column that was ``added`` / ``removed`` /
+    ``type_changed`` / ``nullability_changed`` (tightened or loosened).
+    Unchanged columns are omitted; nested types compare by simpleString.
+    """
+    b = {f.name: f for f in before.schema.fields}
+    a = {f.name: f for f in after.schema.fields}
+    rows: list[tuple[str, str | None, str | None, str]] = []
+    for name, f in a.items():
+        if name not in b:
+            rows.append((name, None, f.dataType.simpleString(), "added"))
+    for name, f in b.items():
+        g = a.get(name)
+        if g is None:
+            rows.append((name, f.dataType.simpleString(), None, "removed"))
+        elif f.dataType.simpleString() != g.dataType.simpleString():
+            rows.append((name, f.dataType.simpleString(), g.dataType.simpleString(), "type_changed"))
+        elif f.nullable != g.nullable:
+            rows.append((name, f.dataType.simpleString(), g.dataType.simpleString(), "nullability_changed"))
+    return before.sparkSession.createDataFrame(
+        rows, "column string, before string, after string, change string"
+    )

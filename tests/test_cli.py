@@ -322,7 +322,7 @@ def test_cli_expect_gate(spark, tmp_path, capsys):
     assert rc == 1  # grp a has a null text -> completeness fails
     verdicts = [d for d in out if "rule_id" in d]
     assert len(verdicts) == 4  # 2 groups x 2 rules
-    assert out[-1] == {"n_failed": 1, "passed": False}
+    assert out[-1] == {"n_failed": 1, "quarantined": 0, "passed": False}
 
     # schema mismatch: fails fast, rules never run
     rules_bad = {"schema": [{"name": "doc_id", "dtype": "string"}],
@@ -333,3 +333,37 @@ def test_cli_expect_gate(spark, tmp_path, capsys):
     assert rc == 1
     assert out[-1] == {"schema_failed": 1, "rules_run": False}
     assert not any("rule_id" in d for d in out)
+
+
+def test_cli_expect_jsonl_quarantine(spark, tmp_path, capsys):
+    """expect --format jsonl: schema block drives the scan; corrupt lines
+    are quarantined (reported + fail the gate) while metric rules still
+    run on the good split."""
+    src = tmp_path / "c.jsonl"
+    src.write_text(
+        '{"doc_id": 1, "text": "hello"}\n'
+        '{"doc_id": "oops", "text": "bad id type"}\n'
+        "GARBAGE\n"
+        '{"doc_id": 4, "text": "world"}\n'
+    )
+    rules = {
+        "schema": [{"name": "doc_id", "dtype": "bigint", "nullable": False},
+                   {"name": "text", "dtype": "string"}],
+        "rules": [{"column": "text", "metric": "completeness", "op": ">=", "bound": 1.0}],
+    }
+    rf = tmp_path / "rules.json"
+    rf.write_text(json.dumps(rules))
+    rc = main(["expect", "--input", str(src), "--rules", str(rf), "--format", "jsonl"])
+    out = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    assert rc == 1
+    q = {d["reason"]: d["n_lines"] for d in out if d.get("check") == "quarantine"}
+    assert q == {"malformed": 1, "type": 1}
+    verdicts = [d for d in out if "rule_id" in d]
+    assert len(verdicts) == 1 and verdicts[0]["passed"]  # good split is clean
+    assert out[-1] == {"n_failed": 2, "quarantined": 2, "passed": False}
+
+    # clean corpus -> exit 0
+    src.write_text('{"doc_id": 1, "text": "a"}\n{"doc_id": 2, "text": "b"}\n')
+    rc = main(["expect", "--input", str(src), "--rules", str(rf), "--format", "jsonl"])
+    out = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    assert rc == 0 and out[-1]["passed"]

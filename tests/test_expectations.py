@@ -222,3 +222,17 @@ def test_null_metric_fails_and_counts_in_summary(spark):
     assert rows[0].value is None and rows[0].passed is False
     s = expectation_summary(v).collect()[0]
     assert s.n_failed == 1 and not s.passed
+
+
+def test_schema_diff_report(spark):
+    from hashio_spark.operators.expectations import schema_diff
+
+    before = spark.createDataFrame([], "a bigint, b string, c int, d string")
+    after = spark.createDataFrame([], "a bigint, b int, d string, e double")
+    got = {r.column: r for r in schema_diff(before, after).collect()}
+    assert set(got) == {"b", "c", "e"}  # a and d unchanged -> omitted
+    assert got["b"].change == "type_changed" and got["b"].before == "string" and got["b"].after == "int"
+    assert got["c"].change == "removed" and got["c"].after is None
+    assert got["e"].change == "added" and got["e"].before is None
+    # identical schemas -> empty report
+    assert schema_diff(before, before).count() == 0
