@@ -37,7 +37,26 @@ def cmd_validate(args) -> int:
     # ordered-unique input paths (reference M3: duplicate CLI paths are
     # dropped keeping first occurrence, /root/reference/lib/hashio/cli.py:434)
     inputs = list(dict.fromkeys(args.input))
-    docs = spark.read.parquet(*inputs)
+    quarantined = 0
+    if getattr(args, "format", "parquet") == "jsonl":
+        # flat (doc_id, text) JSONL corpus: quarantine bad lines, adapt
+        # the good split into single-span interleaved docs and run the
+        # FULL flagship pass on it (no separate validation code path)
+        from pyspark.sql import types as T
+
+        from hashio_spark.sources.jsonl import docs_from_text, quarantine_summary, read_jsonl_docs
+
+        scan_schema = (T.StructType()
+                       .add("doc_id", T.StringType())
+                       .add("text", T.StringType()))
+        batch = read_jsonl_docs(spark, inputs, scan_schema, required=("doc_id",))
+        for r in quarantine_summary(batch.bad).collect():
+            print(json.dumps({"check": "quarantine", "reason": r.reason,
+                              "n_lines": r.n_lines}))
+            quarantined += r.n_lines
+        docs = docs_from_text(batch.good)
+    else:
+        docs = spark.read.parquet(*inputs)
     catalog = spark.read.parquet(args.catalog) if args.catalog else None
     store = ManifestStore(spark, args.manifest) if args.manifest else None
 
@@ -75,7 +94,10 @@ def cmd_validate(args) -> int:
     summary = res.report.agg(
         F.sum("row_count").alias("docs"), F.sum("violation_count").alias("violations")
     ).first()
-    print(json.dumps({"run_id": args.run_id, "docs": summary["docs"], "violations": summary["violations"]}))
+    line = {"run_id": args.run_id, "docs": summary["docs"], "violations": summary["violations"]}
+    if quarantined:
+        line["quarantined"] = quarantined
+    print(json.dumps(line))
     return 0
 
 
@@ -502,6 +524,8 @@ def main(argv: list[str] | None = None) -> int:
     v.add_argument("--export", help="also export the report manifest (.json/.txt/.mhl by extension)")
     v.add_argument("--sketches", action="store_true",
                    help="store per-partition HLL doc_id sketches in the manifest (enables `distinct`)")
+    v.add_argument("--format", default="parquet", choices=["parquet", "jsonl"],
+                   help="jsonl: flat (doc_id, text) lines — bad lines quarantined, good adapted to single-span docs")
     v.set_defaults(fn=cmd_validate)
 
     for name, fn in (("verify", cmd_verify), ("diff", cmd_diff)):

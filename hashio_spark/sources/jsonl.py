@@ -97,3 +97,36 @@ def quarantine_summary(bad: DataFrame) -> DataFrame:
     """One row per reason with counts — the gate a pipeline alerts on
     (algebraic agg, map-side partials)."""
     return bad.groupBy("reason").agg(F.count(F.lit(1)).alias("n_lines"))
+
+
+def docs_from_text(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_partitions: int = 64,
+) -> DataFrame:
+    """Adapt a FLAT text corpus (the JSONL shape: one text per row) into
+    the interleaved-document schema so it can run the FULL flagship
+    validator (span digests, uniqueness, stats, manifest/resume) without
+    a separate code path: each doc becomes a single text span at offset
+    0, and ``partition_id`` is derived as ``pmod(xxhash64(doc_id), n)``
+    — content-deterministic, so the manifest rows (and resume
+    anti-joins) are identical under any input file layout.
+
+    Pure projection: no shuffle, no UDF; the validator's one-scan plan
+    is unchanged.
+    """
+    spans = F.array(
+        F.struct(
+            F.lit("text").alias("kind"),
+            F.col(text_col).cast("string").alias("text"),
+            F.lit(None).cast("string").alias("media_ref"),
+            F.lit(0).alias("offset"),
+        )
+    )
+    return df.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(n_partitions))
+        .cast("int").alias("partition_id"),
+        spans.alias("spans"),
+    )

@@ -1,6 +1,7 @@
 """JSONL source with corrupt-record quarantine (sources/jsonl.py)."""
 
 import gzip
+import json
 
 import pytest
 from pyspark.sql import types as T
@@ -77,3 +78,53 @@ def test_good_feeds_validate_pipeline(spark, jsonl_dir):
     digested = b.good.withColumn("digest", digest_expr("text", "xxh64"))
     assert digested.filter(F.col("digest").isNull()).count() == 0
     assert digested.count() == 3
+
+
+def test_docs_from_text_runs_flagship(spark, tmp_path):
+    """Flat JSONL -> single-span docs -> FULL validate pass: digests land,
+    partition_id is content-deterministic (layout-independent)."""
+    from pyspark.sql import functions as F
+
+    from hashio_spark.plans.validate import validate
+    from hashio_spark.sources.jsonl import docs_from_text, read_jsonl_docs
+
+    p = tmp_path / "c.jsonl"
+    p.write_text("".join(f'{{"doc_id": "d{i}", "text": "doc number {i}"}}\n' for i in range(50)))
+    b = read_jsonl_docs(
+        spark, str(p),
+        SCHEMA.__class__().add("doc_id", "string").add("text", "string"),
+    )
+    docs = docs_from_text(b.good, n_partitions=8)
+    assert docs.columns == ["doc_id", "partition_id", "spans"]
+    res = validate(docs, catalog=None, algo="xxh64")
+    rep = res.report.collect()
+    assert sum(r.row_count for r in rep) == 50
+    assert all(r.digest for r in rep)
+    res.violations.unpersist()
+    # layout independence: same rows through a different partitioning
+    again = docs_from_text(b.good.repartition(3), n_partitions=8)
+    a = {(r.doc_id, r.partition_id) for r in docs.select("doc_id", "partition_id").collect()}
+    b2 = {(r.doc_id, r.partition_id) for r in again.select("doc_id", "partition_id").collect()}
+    assert a == b2
+
+
+def test_cli_validate_jsonl_end_to_end(spark, tmp_path, capsys):
+    from hashio_spark.cli import main
+
+    src = tmp_path / "c.jsonl"
+    src.write_text(
+        '{"doc_id": "a", "text": "alpha"}\n'
+        '{"doc_id": "b", "text": "beta"}\n'
+        "BROKEN LINE\n"
+    )
+    man = str(tmp_path / "m")
+    rc = main(["validate", "--input", str(src), "--format", "jsonl",
+               "--manifest", man, "--run-id", "j1", "--algo", "xxh64"])
+    assert rc == 0
+    out = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    assert any(d.get("check") == "quarantine" and d["reason"] == "malformed" for d in out)
+    assert out[-1]["docs"] == 2 and out[-1]["quarantined"] == 1
+
+    from hashio_spark.sources.manifest_store import ManifestStore
+    assert ManifestStore(spark, man).list_runs() == ["j1"]
+
