@@ -398,6 +398,10 @@ def cmd_expect(args) -> int:
     * ``rules``: [{"column", "metric", "op", "bound"}] (bound is a
       scalar, or [lo, hi] for op "between");
     * ``by``: slice column(s) for per-group evaluation.
+
+    ``--format jsonl`` flips the schema block from a post-hoc check to
+    the SCAN contract (sources/jsonl): corrupt lines are quarantined,
+    reported, and fail the gate; metric rules run on the good split.
     """
     from hashio_spark.operators.expectations import (
         Expectation, SchemaField, check_schema, evaluate_expectations,
