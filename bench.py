@@ -115,6 +115,7 @@ BENCH_QUERIES = [
     "q10_returned_items",
     "q18_large_volume",
     "latest_event_per_user",
+    "event_spikes",
 ]
 
 _DOCS_PATH = "/tmp/hashio_spark_bench_docs.parquet"

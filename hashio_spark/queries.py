@@ -3865,3 +3865,53 @@ FROM (
 
 
 REGISTRY["latest_event_per_user"] = (latest_event_per_user, LATEST_EVENT_SQL)
+
+
+def event_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucketed traffic spike/dip detector: events per day, flagged
+    at |z| > 1.8 against the whole series — the ingest-rate monitor a
+    pipeline alerts on (a crawler stall or a duplicate-feed burst shows
+    up as a bucket count outlier).
+
+    Pure reuse of :func:`operators.stats.zscore_outliers` (decimal-exact
+    power sums → engine-bit-identical z) over a ``date_trunc`` bucket
+    projection: two stacked hash-aggs + a broadcast-back filter; no
+    window, no sort, immune to how the events are partitioned."""
+    from hashio_spark.operators.stats import zscore_outliers
+
+    e = _t(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(F.date_trunc("day", F.col("ts")).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .withColumn("_all", F.lit("all"))
+    )
+    out = zscore_outliers(daily, "n_events", "_all", "bucket", threshold=1.8)
+    return out.select(
+        F.date_format("bucket", "yyyy-MM-dd").alias("bucket"),
+        F.col("n_events"), F.col("zscore"),
+    )
+
+
+EVENT_SPIKES_SQL = """
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS bucket, count(*) AS n_events
+  FROM events GROUP BY 1
+), g AS (
+  SELECT count(*) AS n,
+    sum(cast(n_events AS decimal(38,0))) AS sx,
+    sum(cast(n_events * n_events AS decimal(38,0))) AS sx2
+  FROM daily
+), s AS (
+  SELECT cast(sx AS double) / cast(n AS double) AS mean,
+    sqrt((cast(n AS double) * cast(sx2 AS double) - cast(sx AS double) * cast(sx AS double))
+         / (cast(n AS double) * cast(n AS double))) AS std
+  FROM g
+)
+SELECT strftime(d.bucket, '%Y-%m-%d') AS bucket, d.n_events,
+  round((cast(d.n_events AS double) - s.mean) / s.std, 6) AS zscore
+FROM daily d, s
+WHERE s.std > 0 AND abs((cast(d.n_events AS double) - s.mean) / s.std) > 1.8
+"""
+
+
+REGISTRY["event_spikes"] = (event_spikes, EVENT_SPIKES_SQL)
