@@ -3300,13 +3300,12 @@ def shuffle_order_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 SHUFFLE_ORDER_SQL = """
 WITH h AS (
   SELECT doc_id,
-    (CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), 's42')), 1, 15)) AS BIGINT)
-     % 1000000) AS k
+    CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), 's42')), 1, 15)) AS BIGINT) AS fh
   FROM documents
 )
 SELECT doc_id,
-  CAST(k % 8 AS INT) AS shard,
-  CAST(row_number() OVER (PARTITION BY k % 8 ORDER BY k / 1000000.0, doc_id) AS BIGINT) AS pos
+  CAST((fh % 1000000) % 8 AS INT) AS shard,
+  CAST(row_number() OVER (PARTITION BY (fh % 1000000) % 8 ORDER BY fh, doc_id) AS BIGINT) AS pos
 FROM h
 """
 
@@ -3345,7 +3344,8 @@ WITH scored AS (
   FROM documents
 )
 SELECT doc_id, source, score,
-  (percent_rank() OVER (PARTITION BY source ORDER BY score ASC, doc_id ASC) >= 0.5) AS kept
+  (percent_rank() OVER (PARTITION BY source ORDER BY score ASC, doc_id ASC) >= 0.5
+   OR count(*) OVER (PARTITION BY source) = 1) AS kept
 FROM scored
 """
 
@@ -3915,3 +3915,44 @@ WHERE s.std > 0 AND abs((cast(d.n_events AS double) - s.mean) / s.std) > 1.8
 
 
 REGISTRY["event_spikes"] = (event_spikes, EVENT_SPIKES_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Registry ordering
+# ---------------------------------------------------------------------------
+
+# The driver's correctness gate runs REGISTRY in iteration order under a
+# wall-time budget; round 4's file truncated at entry 50, leaving the 35
+# newest queries driver-unattested (VERDICT r4 §Next-round #2).  Queries
+# the driver has ALREADY attested green (CORRECTNESS_r04.json) are the
+# safest to lose to a future truncation, so they run LAST: anything not
+# in this set — the round-4 additions plus any query added later — is
+# moved to the front in its original relative order.
+_DRIVER_ATTESTED_R4 = frozenset({
+    "q1_pricing_summary", "top_revenue_customers", "filter_query",
+    "stats_summary", "digest_md5", "digest_sha256", "composite_digest",
+    "dedupe_exact", "minhash_signature", "dedupe_minhash_lsh",
+    "ngram_jaccard", "verify_manifest", "dedupe_manifests", "snapshot_diff",
+    "drift_psi", "drift_psi_by_group", "drift_ks", "doc_fingerprint",
+    "token_count", "text_quality", "lang_score", "lang_id",
+    "ann_cosine_topk", "embedding_neardup", "embedding_neardup_scaled",
+    "topk_orders_per_customer", "sessionize_events", "pivot_event_counts",
+    "rollup_counts", "dataset_digest", "quality_score", "simhash_md5",
+    "validate_interleaved", "contamination_check", "repetition_stats",
+    "sample_stratified", "q5_region_revenue", "sample_cap_per_group",
+    "dedupe_clusters", "media_features", "media_frames", "media_resize",
+    "corpus_clean_pipeline", "pii_redact", "domain_counts",
+    "numeric_quantiles", "pack_sequences", "events_asof_purchase",
+    "events_in_signup_window", "key_profile_users",
+})
+
+
+def _reorder_registry() -> None:
+    unattested = {k: v for k, v in REGISTRY.items() if k not in _DRIVER_ATTESTED_R4}
+    attested = {k: v for k, v in REGISTRY.items() if k in _DRIVER_ATTESTED_R4}
+    REGISTRY.clear()
+    REGISTRY.update(unattested)
+    REGISTRY.update(attested)
+
+
+_reorder_registry()
