@@ -20,9 +20,20 @@ Methodology against this sandbox's noisy hypervisor (BENCH.md):
   are recorded in BENCH.md but are 3-10× erratic here (safepoint ×
   hypervisor interaction), so the recorded number uses the stable shape.
 
-Prints ONE JSON line:
+Fail-soft output contract (round-4 lesson — BENCH_r04.json was rc=124/
+parsed=null because ONE line printed only at the very end): a COMPLETE
+JSON line for everything measured so far is printed after EACH section
+(scaling+flagship → catalog → alt-topology → fast tier), so the driver's
+last-line parse reflects every finished section no matter where a wall-
+budget kill lands.  Section order puts the north rule's binding number
+(scaling efficiency) first.  ``BENCH_BUDGET_S`` (default 1200) skips
+remaining sections when exceeded; ``BENCH_FULL=1`` restores the large
+campaign (12M docs, fast tier).
+
+Final line shape:
   {"metric": ..., "value": <total sec>, "unit": "sec",
-   "queries": {...}, "sf": ..., "flagship": {...}, "scaling": {...}}
+   "queries": {...}, "sf": ..., "flagship": {...},
+   "scaling": {...}, "scaling_alt": {...}}
 """
 
 from __future__ import annotations
@@ -36,9 +47,15 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-# 12M docs: dilutes fixed session overheads and hypervisor noise windows —
-# BENCH.md's 12M-row matrix held 0.81-0.84 efficiency even on disk shuffle
-N_DOCS = int(os.environ.get("BENCH_N_DOCS", "12000000"))
+FULL = os.environ.get("BENCH_FULL", "") == "1"
+# Wall budget for the whole campaign: the driver killed the round-4 run
+# (rc 124), so the default campaign must fit its budget with margin and
+# self-truncate (skipping sections, never dying mid-print) past this.
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1200"))
+# 6M docs default (12M behind BENCH_FULL=1): still ~85s/pass at 1 core,
+# far above the ~2-4s fixed per-pass overhead that distorts efficiency
+# below ~1M docs, at half the datagen+leg cost that overflowed round 4.
+N_DOCS = int(os.environ.get("BENCH_N_DOCS", "12000000" if FULL else "6000000"))
 # 1 vs 4 cores: this sandbox's single-socket memory wall inflates JVM
 # cpu-time with thread count (measured, BENCH.md: ~1.3× at 8 threads on
 # the round-4 kernel, ~1.65× at ≥16 on any kernel), so higher-thread
@@ -224,9 +241,12 @@ def _validation_session(cores: int):
 
 
 def _run_validation_batch(cores: int, n_passes: int, max_retries: int = 8,
-                          algo: str | None = None) -> list[float]:
+                          algo: str | None = None) -> dict:
     """One session: warmup + ``n_passes`` timed passes of the flagship
-    validation; a pass that ran starved (wall >> cpu/cores) is retried."""
+    validation; a pass that ran starved (wall >> cpu/cores) is retried.
+    Returns ``{"wall": [...], "cpu": [...]}`` — cpu is the JVM cpu-clock
+    per pass, recorded so per-thread cpu inflation (the single-socket
+    memory wall, BENCH.md) is data in the artifact, not prose."""
     from hashio_spark.datagen import asset_catalog
     from hashio_spark.plans.validate import validate
 
@@ -251,6 +271,7 @@ def _run_validation_batch(cores: int, n_passes: int, max_retries: int = 8,
                   "shuffle fell back to disk — scaling numbers suspect",
                   file=sys.stderr)
         times: list[float] = []
+        cpus: list[float] = []
         retries = 0
         while len(times) < n_passes:
             wall, cpu = one()
@@ -261,12 +282,13 @@ def _run_validation_batch(cores: int, n_passes: int, max_retries: int = 8,
                       file=sys.stderr)
                 continue
             times.append(wall)
-        return times
+            cpus.append(cpu)
+        return {"wall": times, "cpu": cpus}
     finally:
         spark.stop()
 
 
-def _run_batch_isolated(cores: int, n_passes: int, algo: str | None = None) -> list[float]:
+def _run_batch_isolated(cores: int, n_passes: int, algo: str | None = None) -> dict:
     """Run one validation batch in a FRESH subprocess → fresh JVM.
 
     PySpark keeps one gateway JVM per Python process; ``spark.stop()``
@@ -317,91 +339,150 @@ def _fast_tier_queries():
     return [("dedupe_minhash_lsh_fast", minhash_lsh_fast), ("simhash64_fast", simhash64_fast)]
 
 
-def main() -> None:
-    from hashio_spark.queries import REGISTRY
-    from hashio_spark.session import get_spark
-
-    out: dict = {"sf": SF_DIR, "unit": "sec"}
-    qtimes: dict[str, float] = {}
-
-    spark = get_spark(app="bench", cores=CPUS)
-
-    def timed(name, fn):
-        # min-of-2: a fresh plan per pass (finding #4) AND a cleared
-        # cache — queries that persist() internally (the LSH family)
-        # would otherwise have their second pass served from the
-        # CacheManager (plan-equality lookup), measuring warm-cache
-        # incrementals instead of the operator.  The min then absorbs
-        # one hypervisor noise window / first-query JIT warmup only.
-        best, n = None, 0
-        for _ in range(2):
-            spark.catalog.clearCache()
-            t0 = time.monotonic()
-            n = fn(spark, SF_DIR).count()
-            dt = time.monotonic() - t0
-            best = dt if best is None or dt < best else best
-        qtimes[name] = round(best, 3)
-        print(f"# {name}: {qtimes[name]}s rows={n}", file=sys.stderr)
-
-    for name in BENCH_QUERIES:
-        fn, _sql = REGISTRY[name]
-        timed(name, fn)
-    # production fast-tier variants (xxhash64 token hashing — not DuckDB-
-    # replicable, so not REGISTRY queries; benched here to record the
-    # native tier's headroom over the oracle-parity md5 variants)
-    for name, fn in _fast_tier_queries():
-        timed(name, fn)
-    spark.stop()
-
-    # flagship throughput: N vs 4N cores, interleaved A/B/A/B min-of-all
-    _materialize_docs(N_DOCS)
-    small, big = SMALL_CORES, SMALL_CORES * 4
-    t_small_all: list[float] = []
-    t_big_all: list[float] = []
-    # 2 interleaved sessions × 3 passes = 6 samples per topology: across
-    # four full 12M runs the min-of-4 efficiencies were 0.852/0.887/
-    # 0.833/0.808 — the spread is hypervisor noise in which leg finds its
-    # clean window, so more samples tighten both mins toward true cost
-    for _ in range(2):
-        t_small_all += _run_batch_isolated(small, 3)
-        t_big_all += _run_batch_isolated(big, 3)
-    t_small, t_big = min(t_small_all), min(t_big_all)
-    efficiency = (t_small / t_big) / (big / small)
-    docs_per_sec = N_DOCS / t_big
-
-    # stretch leg: the native-xxhash64 "fast" tier (no canonical-digest
-    # parity) — records the headroom over the canonical algo, min-of-2
-    t_fast = min(_run_batch_isolated(big, 2, algo="fast"))
-
-    out["metric"] = "docs/sec validated (full stats+constraint+digest pass)"
-    out["queries"] = qtimes
-    out["flagship"] = {
-        "n_docs": N_DOCS,
-        "executors": f"local[{big}]",
-        "cores": big,
-        "seconds": round(t_big, 3),
-        "docs_per_sec": round(docs_per_sec, 1),
-        "algo": ALGO,
-        "fast_seconds": round(t_fast, 3),
-        "fast_docs_per_sec": round(N_DOCS / t_fast, 1),
-    }
-    out["scaling"] = {
+def _scaling_dict(small: int, big: int, b_small: dict, b_big: dict, method: str) -> dict:
+    t_small, t_big = min(b_small["wall"]), min(b_big["wall"])
+    return {
         "executors_small": f"local[{small}]",
         "executors_big": f"local[{big}]",
         "cores_small": small,
         "cores_big": big,
         "seconds_small": round(t_small, 3),
         "seconds_big": round(t_big, 3),
-        "samples_small": [round(x, 2) for x in t_small_all],
-        "samples_big": [round(x, 2) for x in t_big_all],
+        "samples_small": [round(x, 2) for x in b_small["wall"]],
+        "samples_big": [round(x, 2) for x in b_big["wall"]],
+        # JVM cpu-clock per pass: on this single-socket box, cpu-time
+        # inflation with thread count (flat ≤4 threads, ~1.3× at 8) is the
+        # memory-wall evidence behind the 1v4 primary topology — recorded
+        # here so the defense lives in the driver artifact (ADVICE r4 #1)
+        "cpu_seconds_small": [round(x, 2) for x in b_small["cpu"]],
+        "cpu_seconds_big": [round(x, 2) for x in b_big["cpu"]],
         "throughput_small_docs_per_sec": round(N_DOCS / t_small, 1),
-        "throughput_big_docs_per_sec": round(docs_per_sec, 1),
-        "efficiency": round(efficiency, 3),
-        "method": "N vs 4N cores, interleaved ABAB sessions, warmup + min-of-6, "
-                  "starved-pass retry via JVM cpu-clock, tmpfs shuffle via env (see BENCH.md)",
+        "throughput_big_docs_per_sec": round(N_DOCS / t_big, 1),
+        "efficiency": round((t_small / t_big) / (big / small), 3),
+        "method": method,
     }
-    out["value"] = round(sum(qtimes.values()) + t_big, 3)
-    print(json.dumps(out))
+
+
+def main() -> None:
+    t_start = time.monotonic()
+    out: dict = {
+        "sf": SF_DIR,
+        "unit": "sec",
+        "metric": "docs/sec validated (full stats+constraint+digest pass)",
+        "value": 0.0,
+        "queries": {},
+        "n_docs": N_DOCS,
+    }
+
+    def emit() -> None:
+        """Print the COMPLETE result-so-far as one JSON line (the driver
+        parses the LAST line, so each section's emit makes everything
+        measured up to that point kill-proof)."""
+        out["elapsed_s"] = round(time.monotonic() - t_start, 1)
+        print(json.dumps(out), flush=True)
+
+    def budget_left() -> float:
+        return BUDGET_S - (time.monotonic() - t_start)
+
+    # -- Section 1: flagship + primary scaling (N vs 4N cores) -------------
+    # First because the north rule's binding criterion is the scaling
+    # efficiency — if anything gets cut by the driver's wall budget, it
+    # must be the later sections.  One session per topology, warmup + 2
+    # timed passes (round-4's 2×(1+3) per topology overflowed the budget).
+    _materialize_docs(N_DOCS)
+    small, big = SMALL_CORES, SMALL_CORES * 4
+    b_small = _run_batch_isolated(small, 2)
+    b_big = _run_batch_isolated(big, 2)
+    t_big = min(b_big["wall"])
+    out["flagship"] = {
+        "n_docs": N_DOCS,
+        "executors": f"local[{big}]",
+        "cores": big,
+        "seconds": round(t_big, 3),
+        "docs_per_sec": round(N_DOCS / t_big, 1),
+        "algo": ALGO,
+    }
+    out["scaling"] = _scaling_dict(
+        small, big, b_small, b_big,
+        "N vs 4N cores, one fresh-JVM session per topology, warmup + min-of-2, "
+        "starved-pass retry via JVM cpu-clock, tmpfs shuffle via env (see BENCH.md)",
+    )
+    out["value"] = round(t_big, 3)
+    emit()
+
+    # -- Section 2: catalog queries at SF_DIR -------------------------------
+    if budget_left() > 240:
+        from hashio_spark.queries import REGISTRY
+        from hashio_spark.session import get_spark
+
+        qtimes: dict[str, float] = {}
+        spark = get_spark(app="bench", cores=CPUS)
+
+        def timed(name, fn):
+            # Fresh plan per pass AND a cleared cache — queries that
+            # persist() internally (the LSH family) would otherwise have a
+            # second pass served from the CacheManager.  Queries ≤1s get a
+            # single pass (noise there is noise-scale); >1s get min-of-2
+            # to absorb one hypervisor window (r4's full min-of-2 catalog
+            # was a big slice of the budget overflow).
+            best, n = None, 0
+            for i in range(2):
+                spark.catalog.clearCache()
+                t0 = time.monotonic()
+                n = fn(spark, SF_DIR).count()
+                dt = time.monotonic() - t0
+                best = dt if best is None or dt < best else best
+                if best <= 1.0 or budget_left() < 120:
+                    break
+            qtimes[name] = round(best, 3)
+            print(f"# {name}: {qtimes[name]}s rows={n}", file=sys.stderr)
+
+        for name in BENCH_QUERIES:
+            if budget_left() < 60:
+                print("# budget: catalog truncated", file=sys.stderr)
+                break
+            fn, _sql = REGISTRY[name]
+            timed(name, fn)
+        # production fast-tier variants (xxhash64 token hashing — not
+        # DuckDB-replicable, so not REGISTRY queries; benched to record
+        # the native tier's headroom over the oracle-parity md5 variants)
+        for name, fn in _fast_tier_queries():
+            if budget_left() < 60:
+                break
+            timed(name, fn)
+        spark.stop()
+        out["queries"] = qtimes
+        out["value"] = round(sum(qtimes.values()) + t_big, 3)
+        emit()
+    else:
+        print("# budget: skipping catalog section", file=sys.stderr)
+
+    # -- Section 3: alternate scaling topology (2N vs 8N cores) -------------
+    # ADVICE r4 #1: record BOTH topologies in the artifact.  The 2v8 pair
+    # sits on this box's memory wall (see _scaling_dict cpu-clock note);
+    # it is reported as scaling_alt, with the cpu-clocks that show why.
+    alt_small, alt_big = SMALL_CORES * 2, SMALL_CORES * 8
+    # rough cost: a 2-core pass is ~half a 1-core pass; 3 passes + JVM
+    est_alt = (min(b_small["wall"]) / 2) * 3 * 1.3 + 60
+    if budget_left() > est_alt:
+        b2 = _run_batch_isolated(alt_small, 2)
+        b8 = _run_batch_isolated(alt_big, 2)
+        out["scaling_alt"] = _scaling_dict(
+            alt_small, alt_big, b2, b8,
+            "2N vs 8N cores (memory-wall topology — see cpu_seconds_* inflation), "
+            "one fresh-JVM session per topology, warmup + min-of-2",
+        )
+        emit()
+    else:
+        print("# budget: skipping alt-topology section", file=sys.stderr)
+
+    # -- Section 4: native-xxhash64 fast tier (BENCH_FULL only) -------------
+    if FULL and budget_left() > min(b_big["wall"]) * 3 * 1.3 + 30:
+        b_fast = _run_batch_isolated(big, 2, algo="fast")
+        t_fast = min(b_fast["wall"])
+        out["flagship"]["fast_seconds"] = round(t_fast, 3)
+        out["flagship"]["fast_docs_per_sec"] = round(N_DOCS / t_fast, 1)
+        emit()
 
 
 if __name__ == "__main__":
