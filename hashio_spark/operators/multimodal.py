@@ -72,10 +72,26 @@ def extract_media_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(op, schema=MEDIA_FEATURE_SCHEMA)
 
 
-def repartition_for_media(media: DataFrame, partitions: int, key_col: str = "media_ref") -> DataFrame:
+def repartition_for_media(
+    media: DataFrame,
+    partitions: int,
+    key_col: str = "media_ref",
+    salt_cols: tuple[str, ...] = ("doc_id",),
+) -> DataFrame:
     """Salted repartition so byte-heavy rows spread evenly regardless of
-    key skew (hot asset referenced by millions of docs)."""
-    return media.repartition(partitions, F.xxhash64(F.col(key_col), F.rand(seed=42)))
+    key skew (hot asset referenced by millions of docs).
+
+    The salt is CONTENT-derived (``xxhash64(key, *salt_cols)``), never
+    ``F.rand``: a position-dependent salt re-routes rows when a map task
+    is recomputed after executor loss, so reducers that already fetched
+    the original shuffle output see rows duplicated or lost — the
+    SPARK-23207 hazard that :func:`constraints.salted_join` documents and
+    avoids the same way.  ``salt_cols`` must identify rows within a hot
+    key (default ``doc_id``: many docs referencing one asset spread over
+    the hash of the pair, while re-computation always routes a given row
+    to the same partition)."""
+    cols = [F.col(key_col)] + [F.col(c) for c in salt_cols]
+    return media.repartition(partitions, F.xxhash64(*cols))
 
 
 def synth_media_table(spark, n: int = 1000, seed: int = 42) -> DataFrame:

@@ -171,6 +171,65 @@ def test_multimodal_plumbing(spark):
     assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
 
 
+def test_repartition_for_media_routing_is_layout_independent(spark):
+    """The media salt must be CONTENT-derived (r4 VERDICT wrong #2): with
+    ``F.rand`` (position-dependent) a recomputed map task re-routes rows —
+    the SPARK-23207 duplicate/lost-row hazard.  Routing must therefore be
+    a pure function of the row: identical across re-evaluation AND across
+    a different input partition layout (a stage retry is exactly 'the same
+    rows arriving in a different layout')."""
+    from hashio_spark.operators.multimodal import repartition_for_media, synth_media_table
+
+    media = synth_media_table(spark, 200)
+
+    def routing(df):
+        out = repartition_for_media(df, 8).select(
+            "doc_id", F.spark_partition_id().alias("pid")
+        )
+        return {r["doc_id"]: r["pid"] for r in out.collect()}
+
+    base = routing(media)
+    assert routing(media) == base  # re-evaluation
+    assert routing(media.repartition(13)) == base  # different input layout
+    # and it actually spreads: a hot asset's rows land on >1 partition
+    hot = synth_media_table(spark, 200).withColumn("media_ref", F.lit("asset-hot"))
+    pids = {r["pid"] for r in repartition_for_media(hot, 8)
+            .select(F.spark_partition_id().alias("pid")).collect()}
+    assert len(pids) > 1
+
+
+def test_no_rand_in_shuffle_key_positions():
+    """Source-level guard (r4 VERDICT wrong #2 'done' criterion): no
+    ``repartition``/``repartitionByRange`` call anywhere in the package
+    passes a ``rand``-derived key."""
+    import ast
+    import pathlib
+
+    pkg = pathlib.Path(__file__).resolve().parents[1] / "hashio_spark"
+
+    def has_rand(node: ast.AST) -> bool:
+        for sub in ast.walk(node):
+            if isinstance(sub, ast.Call):
+                f = sub.func
+                name = f.attr if isinstance(f, ast.Attribute) else getattr(f, "id", "")
+                if name in ("rand", "randn"):
+                    return True
+        return False
+
+    offenders = []
+    for path in pkg.rglob("*.py"):
+        tree = ast.parse(path.read_text())
+        for node in ast.walk(tree):
+            if (
+                isinstance(node, ast.Call)
+                and isinstance(node.func, ast.Attribute)
+                and node.func.attr in ("repartition", "repartitionByRange", "partitionBy")
+                and any(has_rand(a) for a in node.args)
+            ):
+                offenders.append(f"{path.name}:{node.lineno}")
+    assert not offenders, f"rand-derived shuffle keys: {offenders}"
+
+
 @pytest.fixture(scope="module")
 def short_docs(spark):
     """Docs below the shingle width k=3 — the unguarded sequence(1, size-2)
