@@ -73,6 +73,18 @@ def mixture_weights(
             F.sum(F.col(size_col).cast("decimal(38,0)")).cast("long").alias("total_size"),
         )
     )
+    # per-stratum listed share, 0.0 when unlisted — summed over the strata
+    # ACTUALLY PRESENT, so a target naming an absent stratum contributes no
+    # mass (r4 ADVICE: the Python-side constant Σ targets counted absent
+    # strata, leaving target shares summing <1 and unlisted strata
+    # under-targeted)
+    tgt0 = F.lit(0.0)
+    tgt = None
+    if targets:
+        for value, share in targets.items():
+            cond = F.col("stratum") == value
+            tgt = F.when(cond, F.lit(float(share))) if tgt is None else tgt.when(cond, F.lit(float(share)))
+        tgt0 = tgt.otherwise(F.lit(0.0))
     totals = sizes.agg(
         F.sum(F.col("total_size").cast("decimal(38,0)")).cast("long").alias("_grand"),
         F.count(F.lit(1)).alias("_n_strata"),
@@ -81,17 +93,14 @@ def mixture_weights(
             if targets
             else F.lit(0)
         ).alias("_n_targeted"),
+        # micro-unit longs (same discipline as the renormalization sum):
+        # exact + order-insensitive under any partitioning
+        F.sum(F.round(tgt0 * _MICRO).cast("long")).alias("_listed_mass_u"),
     )
-    listed_mass = float(sum(targets.values())) if targets else 0.0
 
     # explicit target if listed; otherwise the unlisted strata split the
-    # remaining (1 - Σ listed) mass uniformly
-    tgt = None
-    if targets:
-        for value, share in targets.items():
-            cond = F.col("stratum") == value
-            tgt = F.when(cond, F.lit(float(share))) if tgt is None else tgt.when(cond, F.lit(float(share)))
-    rest = (F.lit(1.0) - F.lit(listed_mass)) / (
+    # remaining (1 - Σ present listed) mass uniformly
+    rest = (F.lit(1.0) - F.col("_listed_mass_u").cast("double") / _MICRO) / (
         F.col("_n_strata") - F.col("_n_targeted")
     ).cast("double")
     tgt = rest if tgt is None else tgt.otherwise(rest)

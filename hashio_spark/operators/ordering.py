@@ -42,7 +42,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from hashio_spark.operators.sampling import hash_uniform
+from hashio_spark.operators.sampling import hash_long, hash_uniform
 
 
 def shuffle_shards(
@@ -60,6 +60,14 @@ def shuffle_shards(
     relative order of surviving co-residents (both derive from the same
     hash).  Output: input columns + ``shard`` (int) + ``pos`` (1-based
     within shard).
+
+    ``pos`` orders by the FULL-width hash (r4 ADVICE): the mod-1e6
+    residue that assigns shards has ~rows/1e6 collisions per value, so at
+    10^12 rows ordering by it would collapse within-shard order to the
+    key tiebreak — long key-sequential runs in the supposedly
+    pseudo-random training order.  The residue keeps shard assignment
+    (and the md5 oracle tier) unchanged; only the within-shard sort key
+    widened.
     """
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
@@ -68,9 +76,9 @@ def shuffle_shards(
     # u = k/1e6 — the double round-trip can land an ulp below k.
     with_u = df.withColumn("_u", u).withColumn(
         "shard", F.pmod(F.round(F.col("_u") * F.lit(1_000_000)).cast("long"), F.lit(n_shards)).cast("int")
-    )
-    w = Window.partitionBy("shard").orderBy(F.col("_u"), F.col(key_col))
-    return with_u.withColumn("pos", F.row_number().over(w)).drop("_u")
+    ).withColumn("_h", hash_long(key_col, seed=seed, method=method))
+    w = Window.partitionBy("shard").orderBy(F.col("_h"), F.col(key_col))
+    return with_u.withColumn("pos", F.row_number().over(w)).drop("_u", "_h")
 
 
 def quantile_gate(
@@ -86,9 +94,12 @@ def quantile_gate(
     Uses ``percent_rank`` (integer rank arithmetic — no float quantile
     interpolation, so the kept set is bit-identical across engines) with
     a deterministic tiebreak.  A row is kept iff its percent_rank over
-    ascending score is >= 1 - keep_frac.  Costs one exchange on
-    ``group_col`` + a per-group sort — use the approx tier when groups
-    are corpus-sized.
+    ascending score is >= 1 - keep_frac, OR it is its group's only row:
+    percent_rank of a singleton is 0.0, which never clears the bar for
+    keep_frac < 1, so without the OR 'keep the top 50% of each source'
+    would silently discard every single-row source (r4 ADVICE).  Costs
+    one exchange on ``group_col`` + a per-group sort — use the approx
+    tier when groups are corpus-sized.
     """
     if not (0.0 < keep_frac <= 1.0):
         raise ValueError(f"keep_frac must be in (0, 1], got {keep_frac}")
@@ -96,8 +107,11 @@ def quantile_gate(
     if tiebreak_col:
         order.append(F.col(tiebreak_col).asc())
     w = Window.partitionBy(group_col).orderBy(*order)
+    # count() reuses the SAME partitioning as the rank window — no extra
+    # exchange, one extra unordered-window pass
+    n_in_group = F.count(F.lit(1)).over(Window.partitionBy(group_col))
     return df.withColumn("_pr", F.percent_rank().over(w)).withColumn(
-        "kept", F.col("_pr") >= F.lit(1.0 - keep_frac)
+        "kept", (F.col("_pr") >= F.lit(1.0 - keep_frac)) | (n_in_group == 1)
     ).drop("_pr")
 
 

@@ -23,19 +23,27 @@ from pyspark.sql import functions as F
 _DENOM = 1_000_000
 
 
+def hash_long(key_col: Column | str, seed: str = "s42", method: str = "xxhash64") -> Column:
+    """Full-width deterministic key hash (64-bit signed for xxhash64,
+    60-bit positive for the md5 oracle tier) — the collision-resistant
+    form for ORDERING by hash.  ``hash_uniform``'s mod-1e6 residue is
+    fine as a sampling gate but has ~n/1e6 collisions per value at scale
+    (r4 ADVICE: 10^6 colliding rows per shard at 10^12 rows collapses a
+    hash-order to its key tiebreak)."""
+    k = F.col(key_col) if isinstance(key_col, str) else key_col
+    if method == "xxhash64":
+        return F.xxhash64(k.cast("string"), F.lit(seed))
+    if method == "md5":
+        return F.conv(
+            F.substring(F.md5(F.concat(k.cast("string"), F.lit(seed)).cast("binary")), 1, 15), 16, 10
+        ).cast("long")
+    raise ValueError(f"unknown hash method: {method}")
+
+
 def hash_uniform(key_col: Column | str, seed: str = "s42", method: str = "xxhash64") -> Column:
     """Uniform-in-[0,1) pseudo-random value derived from a key column —
     stable across runs, partitionings, and engines (md5 tier)."""
-    k = F.col(key_col) if isinstance(key_col, str) else key_col
-    if method == "xxhash64":
-        h = F.xxhash64(k.cast("string"), F.lit(seed))
-    elif method == "md5":
-        h = F.conv(
-            F.substring(F.md5(F.concat(k.cast("string"), F.lit(seed)).cast("binary")), 1, 15), 16, 10
-        ).cast("long")
-    else:
-        raise ValueError(f"unknown hash method: {method}")
-    return F.pmod(h, F.lit(_DENOM)) / F.lit(float(_DENOM))
+    return F.pmod(hash_long(key_col, seed, method), F.lit(_DENOM)) / F.lit(float(_DENOM))
 
 
 def sample_stratified(

@@ -77,7 +77,10 @@ def read_jsonl_docs(
             raise ValueError(f"required field {r!r} not in schema")
 
     corrupt = F.col(CORRUPT_COL).isNotNull()
-    any_parsed = F.greatest(*[F.col(c).isNotNull() for c in data_cols])
+    # F.greatest requires >=2 columns (pyspark ValueError on one) — a
+    # one-field schema block is a legal contract (r4 ADVICE)
+    parsed_flags = [F.col(c).isNotNull() for c in data_cols]
+    any_parsed = parsed_flags[0] if len(parsed_flags) == 1 else F.greatest(*parsed_flags)
     reason = F.coalesce(
         F.when(corrupt & ~any_parsed, F.lit("malformed")),
         F.when(corrupt, F.lit("type")),

@@ -59,6 +59,18 @@ def test_gzip_transparent(spark, tmp_path):
     assert b.good.count() == 1 and b.bad.count() == 1
 
 
+def test_one_column_schema(spark, tmp_path):
+    """r4 ADVICE: F.greatest needs >=2 columns, so a legal one-field
+    schema crashed with an unrelated ValueError instead of gating."""
+    p = tmp_path / "one.jsonl"
+    p.write_text('{"text": "ok"}\nBROKEN LINE\n{"text": "also ok"}\n')
+    schema = T.StructType().add("text", T.StringType())
+    b = read_jsonl_docs(spark, str(p), schema, required=("text",))
+    assert {r.text for r in b.good.collect()} == {"ok", "also ok"}
+    bad = b.bad.collect()
+    assert len(bad) == 1 and bad[0].reason == "malformed"
+
+
 def test_contract_guards(spark, jsonl_dir):
     with pytest.raises(ValueError):
         read_jsonl_docs(spark, jsonl_dir, SCHEMA, required=("nope",))

@@ -63,6 +63,27 @@ class TestMixtureWeights:
         for s in ("de", "fr", "zh"):
             assert out[s]["target_share"] == 0.2
 
+    def test_target_naming_absent_stratum_contributes_no_mass(self, spark):
+        """r4 ADVICE: a target naming a stratum absent from the corpus must
+        not consume target mass — previously the unlisted strata split
+        (1 - Σ ALL listed) so shares silently summed to <1."""
+        from hashio_spark.operators.mixing import mixture_weights
+
+        out = {
+            r["stratum"]: r
+            for r in mixture_weights(
+                _mix_df(spark), "lang", "n_chars",
+                targets={"en": 0.4, "ja": 0.3},  # ja absent from the corpus
+                cap=50.0,
+            ).collect()
+        }
+        assert set(out) == {"en", "de", "fr", "zh"}
+        assert out["en"]["target_share"] == 0.4
+        # absent 'ja' contributes nothing: remaining 0.6 over 3 unlisted
+        for s in ("de", "fr", "zh"):
+            assert out[s]["target_share"] == 0.2
+        assert math.isclose(sum(r["target_share"] for r in out.values()), 1.0, abs_tol=1e-6)
+
     def test_feeds_sample_stratified(self, spark):
         """Weights compose with the hash-gate sampler: rate = weight × base."""
         from hashio_spark.operators.mixing import mixture_weights

@@ -44,18 +44,67 @@ def test_shuffle_shards_md5_matches_python_model(spark, small_docs):
         for r in shuffle_shards(small_docs, "doc_id", n_shards=4, method="md5").collect()
     }
 
-    def k(doc_id):
-        h = int(hashlib.md5(f"{doc_id}s42".encode()).hexdigest()[:15], 16)
-        return h % 1_000_000
+    def h(doc_id):
+        return int(hashlib.md5(f"{doc_id}s42".encode()).hexdigest()[:15], 16)
 
-    order = sorted(range(200), key=lambda i: (k(i) % 4, k(i), i))
+    def shard(doc_id):
+        return (h(doc_id) % 1_000_000) % 4
+
+    # shard from the mod-1e6 residue; pos from the FULL 60-bit hash
+    order = sorted(range(200), key=lambda i: (shard(i), h(i), i))
     pos, last = {}, {}
     for i in order:
-        s = k(i) % 4
+        s = shard(i)
         pos[i] = last.get(s, 0) + 1
         last[s] = pos[i]
-    want = {i: (k(i) % 4, pos[i]) for i in range(200)}
+    want = {i: (shard(i), pos[i]) for i in range(200)}
     assert got == want
+
+
+def test_shuffle_shards_pos_breaks_residue_collisions_by_full_hash(spark):
+    """r4 ADVICE: pos must order by the FULL hash — at 10^12 rows the
+    mod-1e6 residue collides ~10^6 times per value, collapsing within-
+    shard order to the key tiebreak (key-sequential runs in the training
+    order).  Plant a real residue collision and check the colliding pair
+    orders by full hash, not by key."""
+    import hashlib
+
+    from hashio_spark.operators.ordering import shuffle_shards
+
+    def h(i):
+        return int(hashlib.md5(f"{i}s42".encode()).hexdigest()[:15], 16)
+
+    seen: dict[int, int] = {}
+    pair = None
+    for i in range(200_000):
+        r = h(i) % 1_000_000
+        if r in seen:
+            pair = (seen[r], i)
+            break
+        seen[r] = i
+    assert pair is not None, "no residue collision in probe range"
+    lo_key, hi_key = pair  # lo_key < hi_key by construction
+    df = spark.createDataFrame([(lo_key,), (hi_key,)], "doc_id long")
+    out = {r.doc_id: r.pos for r in shuffle_shards(df, "doc_id", n_shards=1, method="md5").collect()}
+    want_first = lo_key if h(lo_key) < h(hi_key) else hi_key
+    # under residue-ordering both tie and fall back to doc_id (lo first);
+    # make the probe meaningful: keep scanning if hash order == key order
+    if want_first == lo_key:
+        # find another colliding pair where full-hash order INVERTS key order
+        seen2: dict[int, int] = {}
+        pair = None
+        for i in range(500_000):
+            r = h(i) % 1_000_000
+            if r in seen2 and h(seen2[r]) > h(i):
+                pair = (seen2[r], i)
+                break
+            seen2.setdefault(r, i)
+        assert pair is not None
+        lo_key, hi_key = pair  # lo_key earlier key, but LARGER hash
+        df = spark.createDataFrame([(lo_key,), (hi_key,)], "doc_id long")
+        out = {r.doc_id: r.pos for r in shuffle_shards(df, "doc_id", n_shards=1, method="md5").collect()}
+        want_first = hi_key
+    assert out[want_first] == 1, "pos ordered by residue/key, not full hash"
 
 
 def test_shuffle_shards_rejects_bad_n():
@@ -80,6 +129,19 @@ def test_quantile_gate_exact_keeps_top_fraction(spark):
     assert len(kept) == 30
     assert all(r.score >= 7.0 for r in out if r.kept)
     assert all(r.score < 7.0 or not r.kept is None for r in out)
+
+
+def test_quantile_gate_keeps_singleton_groups(spark):
+    """r4 ADVICE: percent_rank of a 1-row group is 0.0, which never clears
+    1-keep_frac for keep_frac<1 — 'keep top 50% of each source' must not
+    silently discard every single-row source."""
+    from hashio_spark.operators.ordering import quantile_gate
+
+    rows = [(i, float(i), "big") for i in range(10)] + [(100, 0.0, "solo")]
+    df = spark.createDataFrame(rows, "id long, score double, grp string")
+    out = {r.id: r.kept for r in quantile_gate(df, "score", "grp", 0.5, "id").collect()}
+    assert out[100] is True, "singleton group dropped by the gate"
+    assert sum(out[i] for i in range(10)) == 5  # big group unchanged
 
 
 def test_quantile_gate_approx_close_to_exact(spark):
