@@ -59,6 +59,7 @@ def validate(
     checks: frozenset[str] = frozenset({"shape", "uniqueness", "referential"}),
     extra_algos: tuple[str, ...] = (),
     with_sketches: bool = False,
+    side_stats: bool = True,
 ) -> ValidationResult:
     """Run the full stats + constraint + digest pass.
 
@@ -81,6 +82,15 @@ def validate(
     it lands in the stored stats map, so cross-run distinct counts are
     later answered by unioning manifest sketches instead of rescanning
     the corpus.
+
+    ``side_stats=False`` skips the column-pruned side aggregation (string
+    min/max, quality histogram, sketches) and its report join entirely.
+    The side outputs are report-only ride-alongs — a caller that consumes
+    just (row_count, digest, violation_count, passed) pays one full extra
+    stage chain (narrow scan → exchange → agg → join) for columns it
+    drops, and Catalyst cannot eliminate the join on its own.  The
+    production default stays True (the manifest baseline needs the
+    histogram); the oracle-parity flagship catalog query opts out.
 
     ``persist_violations`` caches the violation rows: they feed two
     consumers (the report's per-partition violation_count join and the
@@ -187,8 +197,8 @@ def validate(
     # them pushed the codegen'd update function past JIT limits and
     # slowed the WHOLE pass ~40% (measured at 12M docs); the pruned side
     # pass costs ~2 s at that scale.
-    has_quality = "quality" in docs.columns
-    side_aggs = minmax_aggs(str_stat_cols)
+    has_quality = side_stats and "quality" in docs.columns
+    side_aggs = minmax_aggs(str_stat_cols) if side_stats else []
     side_sel = [F.col("partition_id"), *[F.col(c) for c in str_stat_cols]]
     if has_quality:
         from hashio_spark.operators.drift import bucket_expr

@@ -74,6 +74,24 @@ def test_pass_fail_consistency(result):
     assert joined.filter(~F.col("ok")).count() == 0
 
 
+def test_side_stats_off_matches_on_shared_columns(docs, catalog, result):
+    """side_stats=False must drop ONLY the side-scan ride-alongs (string
+    min/max, quality histogram) and leave every shared report column —
+    counts, digests, violation counts, pass flags — value-identical."""
+    slim = validate(docs, catalog, algo="md5", side_stats=False,
+                    persist_violations=False)
+    full_cols = set(result.report.columns)
+    slim_cols = set(slim.report.columns)
+    dropped = full_cols - slim_cols
+    assert dropped  # the ride-alongs actually left
+    assert all(c.endswith(("_min", "_max")) or c == "quality_hist" for c in dropped)
+    shared = sorted(slim_cols)
+    a = {r["partition_id"]: tuple(r[c] for c in shared) for r in slim.report.collect()}
+    b = {r["partition_id"]: tuple(r[c] for c in shared)
+         for r in result.report.select(*shared).collect()}
+    assert a == b
+
+
 def test_clean_table_passes(spark):
     from hashio_spark.datagen import asset_catalog, documents_interleaved
 
