@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "snapshot_diff",
     "drift_psi",
     "ann_cosine_topk",
+    "ann_ivf_topk",
     "embedding_neardup",
     "embedding_neardup_scaled",
     "simhash_md5",

@@ -3927,6 +3927,101 @@ REGISTRY["event_spikes"] = (event_spikes, EVENT_SPIKES_SQL)
 
 
 # ---------------------------------------------------------------------------
+# ANN scale path: IVF top-k (r4 VERDICT next-round #7)
+# ---------------------------------------------------------------------------
+
+_IVF_N_LIST = 8
+_IVF_N_PROBE = 3
+
+
+def _ivf_codebook(n_list: int = _IVF_N_LIST, dim: int = 64) -> list[list[float]]:
+    """Deterministic md5-derived codebook, inlined as literals in BOTH
+    engines (same trick as ``_neardup_planes``) — a fixed stand-in for a
+    trained codebook so the IVF plan shape is oracle-checkable.
+    Production derives the codebook from the corpus
+    (``similarity.ivf_centroids`` + ``kmeans_refine``); the query path
+    below is identical either way (broadcast-constant assignment +
+    probe-limited list join)."""
+    import hashlib
+
+    return [
+        [
+            float(int(hashlib.md5(f"ivfc|{l}|{d}".encode()).hexdigest()[:8], 16) % 2_000_001 - 1_000_000)
+            for d in range(dim)
+        ]
+        for l in range(n_list)
+    ]
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k (operators/similarity.ivf_topk) — the ANN
+    scale path: corpus rows assign to their nearest codebook centroid via
+    a per-row broadcast-constant expression (NO shuffle, no model job);
+    each query exact-reranks only its ``n_probe`` nearest lists, so the
+    only shuffle is a list_id equi-join carrying ~n_probe/n_list of the
+    corpus per query batch.  Same output contract as the brute-force
+    ``ann_cosine_topk`` twin; recall tracks n_probe (probe all → exact)."""
+    from hashio_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id").isin(*_ANN_QUERY_IDS))
+    out = ivf_topk(
+        emb, q, "vec_id", "embedding",
+        k=_ANN_K, n_list=_IVF_N_LIST, n_probe=_IVF_N_PROBE,
+        centroids=_ivf_codebook(),
+    )
+    return out.select("query_id", "rank", "neighbor_id")
+
+
+def _ivf_oracle_sql() -> str:
+    import math
+
+    cb = _ivf_codebook()
+    rows = []
+    for lid, c in enumerate(cb):
+        cn = math.sqrt(sum(x * x for x in c)) or 1.0
+        vec = "[" + ", ".join(repr(x) for x in c) + "]"
+        rows.append(f"({lid}, {vec}::DOUBLE[], {cn!r})")
+    values = ",\n    ".join(rows)
+    return f"""
+WITH cent(lid, c, cn) AS (VALUES
+    {values}
+),
+e AS (SELECT vec_id, cast(embedding AS double[]) AS ve FROM embeddings),
+en AS (SELECT vec_id, ve, sqrt(list_dot_product(ve, ve)) AS nrm FROM e),
+asg AS (
+  SELECT vec_id, ve, nrm, lid,
+    row_number() OVER (PARTITION BY vec_id
+      ORDER BY list_dot_product(ve, c) / (nrm * cn) DESC, lid DESC) AS rn
+  FROM en CROSS JOIN cent
+),
+corpus AS (SELECT vec_id AS neighbor_id, ve, nrm, lid AS list_id FROM asg WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, ve AS qe, nrm AS qn FROM en WHERE vec_id IN {_ANN_QUERY_IDS}),
+probes AS (
+  SELECT query_id, qe, qn, lid,
+    row_number() OVER (PARTITION BY query_id
+      ORDER BY list_dot_product(qe, c) / (qn * cn) DESC, lid DESC) AS rn
+  FROM q CROSS JOIN cent
+),
+pq AS (SELECT query_id, qe, qn, lid AS list_id FROM probes WHERE rn <= {_IVF_N_PROBE}),
+s AS (
+  SELECT query_id, neighbor_id, list_dot_product(qe, ve) / (qn * nrm) AS cos
+  FROM corpus JOIN pq USING (list_id)
+  WHERE neighbor_id <> query_id
+)
+SELECT query_id, rank, neighbor_id FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM s
+) WHERE rank <= {_ANN_K}
+"""
+
+
+ANN_IVF_TOPK_SQL = _ivf_oracle_sql()
+
+REGISTRY["ann_ivf_topk"] = (ann_ivf_topk, ANN_IVF_TOPK_SQL)
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering
 # ---------------------------------------------------------------------------
 
