@@ -250,6 +250,37 @@ def test_iceberg_merge_sql_shape():
     assert "WHEN MATCHED" not in sql_ig and "WHEN NOT MATCHED THEN INSERT" in sql_ig
 
 
+def test_iceberg_live_roundtrip_when_jars_present(spark, tmp_path):
+    """Live Iceberg path: skipped-not-silent (r4 VERDICT next-round #8).
+    This sandbox ships no Iceberg jars, so `_use_iceberg()` has never
+    returned True and the MERGE branch is assertion-tested only.  The
+    moment the environment provides org.apache.iceberg.spark.SparkCatalog
+    this test lights up and drives a real merge → read round trip through
+    a local hadoop-catalog warehouse."""
+    import pytest
+
+    from hashio_spark.sources.manifest_store import ManifestStore, _iceberg_available
+
+    if not _iceberg_available(spark):
+        pytest.skip("no Iceberg jars in environment (probe: SparkCatalog class absent)")
+
+    # Spark instantiates catalogs lazily on first reference, so a runtime
+    # conf is enough — no session rebuild needed.
+    spark.conf.set("spark.sql.catalog.it_local", "org.apache.iceberg.spark.SparkCatalog")
+    spark.conf.set("spark.sql.catalog.it_local.type", "hadoop")
+    spark.conf.set("spark.sql.catalog.it_local.warehouse", str(tmp_path / "wh"))
+    from hashio_spark.datagen import asset_catalog, documents_interleaved
+
+    docs = documents_interleaved(spark, n_docs=200, n_partitions=4)
+    res = validate(docs, asset_catalog(spark, 100), persist_violations=False)
+    store = ManifestStore(spark, str(tmp_path / "fs"), table="it_local.db.manifest")
+    assert store._use_iceberg()
+    store.merge(manifest_rows(res, "r1", "md5"))
+    got = store.read()
+    assert got.count() == 4
+    assert store.pending_partitions(res.report.select("partition_id"), "r1", "md5").count() == 0
+
+
 def test_salted_join_matches_plain_join(spark):
     """Skew fixture: 90% of big rows share one hot key; the salted join
     must return exactly the plain join's rows while spreading the hot key

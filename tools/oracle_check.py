@@ -2,13 +2,19 @@
 on Spark and its oracle SQL on DuckDB at sf0.01, compare row count + column
 names + order-insensitive value hash.  Usage:
 
-    PYTHONPATH=/root/repo python tools/oracle_check.py [name ...]
+    PYTHONPATH=/root/repo python tools/oracle_check.py [--budget SECONDS] [name ...]
+
+``--budget`` mirrors the driver's wall-time-bounded behavior (round 4's
+driver file truncated at 50/85 registry entries): stop checking when the
+budget is exceeded, report coverage, and exit 1 — so CI catches "the
+registry grew past the gate" before the driver does.
 """
 
 from __future__ import annotations
 
 import hashlib
 import sys
+import time
 
 import duckdb
 
@@ -41,19 +47,26 @@ def frame_hash(cols, rows):
     return h.hexdigest()
 
 
-def main(names):
+def main(names, budget: float | None = None):
     from hashio_spark.queries import REGISTRY
     from hashio_spark.session import get_spark
 
+    t_start = time.monotonic()
     spark = get_spark(cores=8, app="oracle-check")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
 
     failures = 0
+    checked = 0
+    unchecked: list[str] = []
     for name, (fn, sql) in REGISTRY.items():
         if names and name not in names:
             continue
+        if budget is not None and time.monotonic() - t_start > budget:
+            unchecked.append(name)
+            continue
+        checked += 1
         try:
             sdf = fn(spark, SF_DIR)
             s_cols = sdf.columns
@@ -109,8 +122,21 @@ def main(names):
         else:
             print(f"PASS {name}: rows={len(s_rows)}")
     spark.stop()
-    sys.exit(1 if failures else 0)
+    elapsed = time.monotonic() - t_start
+    print(f"# elapsed {elapsed:.1f}s checked {checked} failures {failures}")
+    if unchecked:
+        print(
+            f"# BUDGET EXCEEDED ({budget:.0f}s): {len(unchecked)} queries UNCHECKED: "
+            + ", ".join(unchecked[:8])
+            + (", ..." if len(unchecked) > 8 else "")
+        )
+    sys.exit(1 if failures or unchecked else 0)
 
 
 if __name__ == "__main__":
-    main(set(sys.argv[1:]))
+    args = sys.argv[1:]
+    budget = None
+    if args and args[0] == "--budget":
+        budget = float(args[1])
+        args = args[2:]
+    main(set(args), budget=budget)
