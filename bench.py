@@ -503,24 +503,23 @@ def main() -> None:
     # already on record (round-5 lesson — the single end-of-section emit
     # landed at 585 s, past a plausible driver budget)
     _emit_primary(b_small, b_big)
-    for cores, acc in ((small, b_small), (big, b_big)):
-        if budget_left() > min(acc["wall"]) * 1.6 + 30:
-            b2 = _run_batch_isolated(cores, 1)
-            acc["wall"] += b2["wall"]
-            acc["cpu"] += b2["cpu"]
-    _emit_primary(b_small, b_big)
 
     # -- Section 2: alternate scaling topology (2N vs 8N cores) -------------
     # ADVICE r4 #1: record BOTH topologies in the artifact.  The 2v8 pair
     # sits on this box's memory wall (see _scaling_dict cpu-clock note);
     # it is reported as scaling_alt, with the cpu-clocks that show why.
-    # Runs BEFORE the catalog so all subprocess-isolated scaling batches
-    # finish while the parent still owns no gateway JVM (a live parent JVM
-    # contends with the measured topology — round-5 shakedown).  The guard
-    # reserves ~300 s so the catalog section is never starved by this one.
+    # Priority order after the round-5 shakedown (alt skipped at 695 s on
+    # a 1200 s budget because its guard over-reserved): primary pair >
+    # alt pair > primary top-up passes > catalog.  The alt pair runs
+    # IMMEDIATELY after the provisional primary emit — before the top-up
+    # batches — and its cost estimate is derived from the measured 1-core
+    # wall (a 2-core pass ≈ t1/2, an 8-core pass ≈ t1/6 on this box's
+    # memory wall), not a flat fudge.  The reserve (180 s) matches the
+    # measured 73-leg catalog (~140 s), not the former 300 s guess.
     alt_small, alt_big = SMALL_CORES * 2, SMALL_CORES * 8
-    est_alt = (min(b_small["wall"]) / 2) * 3 * 1.3 + 60
-    if budget_left() > est_alt + 300:
+    t1 = min(b_small["wall"])
+    est_alt = (t1 / 2) * 2.6 + (t1 / 6) * 2.6 + 60
+    if budget_left() > est_alt + 180:
         b2 = _run_batch_isolated(alt_small, 2)
         b8 = _run_batch_isolated(alt_big, 2)
         out["scaling_alt"] = _scaling_dict(
@@ -531,6 +530,14 @@ def main() -> None:
         emit()
     else:
         print("# budget: skipping alt-topology section", file=sys.stderr)
+
+    # -- Section 2b: primary top-up passes (robustness of the min) ----------
+    for cores, acc in ((small, b_small), (big, b_big)):
+        if budget_left() > min(acc["wall"]) * 1.6 + 30 + 180:
+            bt = _run_batch_isolated(cores, 1)
+            acc["wall"] += bt["wall"]
+            acc["cpu"] += bt["cpu"]
+    _emit_primary(b_small, b_big)  # emits the full dict incl. scaling_alt
 
     # -- Section 3: catalog queries at SF_DIR -------------------------------
     if budget_left() > 240:
@@ -559,12 +566,15 @@ def main() -> None:
             qtimes[name] = round(best, 3)
             print(f"# {name}: {qtimes[name]}s rows={n}", file=sys.stderr)
 
-        for name in BENCH_QUERIES:
+        out["queries"] = qtimes  # live reference — emits below see every leg
+        for i, name in enumerate(BENCH_QUERIES):
             if budget_left() < 60:
                 print("# budget: catalog truncated", file=sys.stderr)
                 break
             fn, _sql = REGISTRY[name]
             timed(name, fn)
+            if (i + 1) % 10 == 0:
+                emit()  # kill-proof the finished legs every 10 queries
         # production fast-tier variants (xxhash64 token hashing — not
         # DuckDB-replicable, so not REGISTRY queries; benched to record
         # the native tier's headroom over the oracle-parity md5 variants)
