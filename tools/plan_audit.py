@@ -663,7 +663,7 @@ def main() -> None:
     notes = check(
         "funnel_conversion", p,
         must=[r"hashpartitioning\(user_id",
-              r"ReadSchema: struct<ts:timestamp,user_id:bigint,event_type:string>"],
+              r"ReadSchema: struct<ts:timestamp(_ntz)?,user_id:bigint,event_type:string>"],
         must_not=[r"BatchEvalPython", r"Window", r"CartesianProduct"],
     )
     sections.append(("funnel_conversion (same-key agg/join ladder, pruned scan)", p, notes))
@@ -707,16 +707,23 @@ def main() -> None:
     )
     sections.append(("q18_large_volume (group-then-filter broadcast, one fact agg)", p, notes))
 
-    # 47. latest-per-key: max_by arg-max agg — HashAggregate pair, NO
-    # window, NO per-group sort (the CDC-compaction shape done right)
+    # 47. latest-per-key: max_by arg-max.  max_by's (value, ordering)
+    # buffer attributes are STRUCT-typed, which HashAggregateExec cannot
+    # mutate in place — arg-max with a variable-width payload therefore
+    # ALWAYS plans SortAggregate (partial pair; shuffle stays one
+    # candidate row per (mapper, user)).  Measured 20M events: this
+    # shape 0.74 s vs 3.87 s for the WindowGroupLimit row_number form
+    # and 2.82 s for a dict-encoded hash-agg attempt — SortAggregate
+    # here is the OPTIMAL shape, so the audit expects it and instead
+    # forbids the genuinely bad shapes (window, joins, python).
     q = REGISTRY["latest_event_per_user"][0](spark, SF)
     p = plan_of(q)
     notes = check(
         "latest_event_per_user", p,
-        must=[r"HashAggregate", r"max_by", r"hashpartitioning\(user_id"],
-        must_not=[r"BatchEvalPython", r"Window", r"SortAggregate", r"Join"],
+        must=[r"partial_max_by", r"hashpartitioning\(user_id"],
+        must_not=[r"BatchEvalPython", r"Window", r"Join"],
     )
-    sections.append(("latest_event_per_user (arg-max agg, no window/sort)", p, notes))
+    sections.append(("latest_event_per_user (arg-max SortAggregate — optimal for payload arg-max, see queries.py docstring)", p, notes))
 
     with open("PLANS.md", "w") as f:
         f.write("# PLANS — physical-plan audit (auto-generated by tools/plan_audit.py)\n\n")
