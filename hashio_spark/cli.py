@@ -57,6 +57,36 @@ def cmd_validate(args) -> int:
         docs = docs_from_text(batch.good)
     else:
         docs = spark.read.parquet(*inputs)
+        # North-rule input contract, gated scan-free BEFORE committing
+        # executors to the pass: a wrong-shaped table fails here in
+        # milliseconds with verdict rows and exit 1, not with a raw
+        # AnalysisException an hour into a 100-TB job.  Metadata-only
+        # (check_schema reads df.schema, never scans).
+        from hashio_spark.operators.expectations import SchemaField, check_schema
+
+        contract = [
+            SchemaField("doc_id", "string"),
+            SchemaField(
+                "spans",
+                "array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+            ),
+        ]
+        bad = [r for r in check_schema(docs, contract).collect() if r.status != "ok"]
+        if bad:
+            for r in bad:
+                print(json.dumps({"check": "schema", "column": r.column,
+                                  "expected": r.expected, "actual": r.actual,
+                                  "status": r.status}))
+            print(json.dumps({"status": "schema-contract-failed", "n_bad": len(bad)}))
+            return 1
+        if "partition_id" not in docs.columns:
+            # the north-rule input carries only (doc_id, spans): derive
+            # the partition key exactly like the JSONL adapter so
+            # manifests/resume are layout-independent (sources/jsonl.py)
+            docs = docs.withColumn(
+                "partition_id",
+                F.pmod(F.xxhash64(F.col("doc_id")), F.lit(64)).cast("int"),
+            )
     catalog = spark.read.parquet(args.catalog) if args.catalog else None
     store = ManifestStore(spark, args.manifest) if args.manifest else None
 

@@ -367,3 +367,57 @@ def test_cli_expect_jsonl_quarantine(spark, tmp_path, capsys):
     rc = main(["expect", "--input", str(src), "--rules", str(rf), "--format", "jsonl"])
     out = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
     assert rc == 0 and out[-1]["passed"]
+
+
+def test_validate_wrong_shape_fails_contract_not_analysis(spark, tmp_path, capsys):
+    """A wrong-shaped parquet input (e.g. the flat TPC-H-ish documents
+    table) must fail the scan-free schema contract with verdict rows and
+    exit 1 — not surface a raw AnalysisException from deep inside the
+    digest expression (round-5 verify probe)."""
+    flat = spark.createDataFrame(
+        [("d1", "hello", "en"), ("d2", "world", "fr")], "doc_id string, text string, lang string"
+    )
+    p = str(tmp_path / "flat.parquet")
+    flat.write.mode("overwrite").parquet(p)
+    rc = main(["validate", "--input", p])
+    assert rc == 1
+    lines = [json.loads(ln) for ln in capsys.readouterr().out.strip().splitlines()]
+    assert lines[-1]["status"] == "schema-contract-failed"
+    missing = {ln["column"] for ln in lines if ln.get("status") == "missing"}
+    assert "spans" in missing
+
+
+def test_validate_derives_partition_id_when_absent(spark, tmp_path, capsys):
+    """The north-rule input carries only (doc_id, spans): partition_id is
+    derived content-deterministically (same rule as the JSONL adapter),
+    so the bare input-hint shape validates end to end."""
+    from hashio_spark.datagen import documents_interleaved
+
+    docs = documents_interleaved(spark, n_docs=100, n_partitions=4).drop(
+        "partition_id", "quality"
+    )
+    p = str(tmp_path / "bare.parquet")
+    docs.write.mode("overwrite").parquet(p)
+    store = str(tmp_path / "m")
+    rc = main(["validate", "--input", p, "--manifest", store, "--run-id", "bare"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["docs"] == 100
+
+    # layout independence: a repartitioned copy produces the identical
+    # manifest (partition_id is a pure content function)
+    spark.read.parquet(p).repartition(7).write.mode("overwrite").parquet(
+        str(tmp_path / "bare2.parquet")
+    )
+    rc = main(["validate", "--input", str(tmp_path / "bare2.parquet"),
+               "--manifest", store, "--run-id", "bare2"])
+    assert rc == 0
+    capsys.readouterr()
+    from hashio_spark.sources.manifest_store import ManifestStore
+
+    st = ManifestStore(spark, store)
+    mf = st.read()
+    rows: dict[str, list] = {}
+    for r in mf.collect():
+        rows.setdefault(r.run_id, []).append((r.partition_id, r.digest))
+    assert sorted(rows["bare"]) == sorted(rows["bare2"])
