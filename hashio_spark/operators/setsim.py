@@ -17,6 +17,9 @@ for this join shape.
 Plan shape: two token-keyed shuffles (document frequency + the
 prefix-token candidate join), one id-keyed aggregation to order each
 set, and an exact ``array_intersect`` verify on candidate pairs.
+Every token-keyed stage runs on ``xxhash64`` of the token — 8-byte
+shuffle keys instead of shingle strings (see the inline proof that
+collisions cannot change the verified output).
 Per-doc state is the doc's own token set (``collect_list`` bounded by
 document size, not corpus size).  For corpora whose token universe is
 still too hot (tiny vocab), ``max_token_bucket`` caps the per-token
@@ -58,25 +61,38 @@ def jaccard_join(
         .filter(F.size("_set") > 0)
         .persist()
     )
-    toks = base.select("_id", F.explode("_set").alias("_tok"))
+    # token identity is xxhash64 from here on: the document-frequency
+    # shuffle, the per-set ordering agg, and the candidate join all move
+    # 8-byte longs instead of shingle strings (the corpus's dominant
+    # byte volume).  Collisions only MERGE hashed tokens, which can only
+    # grow intersections / shrink unions, so J_hashed >= J_real — every
+    # real pair with J >= tau still satisfies the prefix lemma on the
+    # hashed sets, and the exact array_intersect verify below runs on
+    # the REAL sets, so collisions cannot add a wrong output row either.
+    # (The rarity tiebreak becomes (df, hash) instead of (df, string) —
+    # any one total order is valid for the lemma; candidates may differ,
+    # verified output cannot.)
+    toks = base.select(
+        "_id",
+        F.explode(F.array_distinct(F.transform("_set", lambda t: F.xxhash64(t)))).alias("_tok"),
+    )
     dfreq = toks.groupBy("_tok").agg(F.count(F.lit(1)).alias("_dfq"))
 
     # per-set rarity order WITHOUT a global rank structure: sorting each
-    # set's (df, token) structs gives the same total order everywhere
+    # set's (df, token-hash) structs gives the same total order everywhere
     ordered = (
         toks.join(dfreq, "_tok")
         .groupBy("_id")
-        .agg(F.sort_array(F.collect_list(F.struct("_dfq", "_tok"))).alias("_o"))
+        .agg(
+            F.sort_array(F.collect_list(F.struct("_dfq", "_tok"))).alias("_o"),
+            F.count(F.lit(1)).alias("_n"),
+        )
     )
-    n = F.size("_o")
+    n = F.col("_n")
     plen = (n - F.ceil(F.lit(float(threshold)) * n) + 1).cast("int")
-    # candidate join runs on xxhash64 of the token, not the string: the
-    # shuffle moves 8-byte keys and the probe compares longs.  A hash
-    # collision can only ADD a candidate pair, and every candidate is
-    # exactly verified below — correctness is unaffected.
     prefix = ordered.select(
-        "_id", n.alias("_n"), F.explode(F.slice("_o", 1, plen)).alias("_p")
-    ).select("_id", "_n", F.xxhash64(F.col("_p._tok")).alias("_tok"))
+        "_id", "_n", F.explode(F.slice("_o", 1, plen)).alias("_p")
+    ).select("_id", "_n", F.col("_p._tok").alias("_tok"))
     if max_token_bucket is not None:
         keep = (
             prefix.groupBy("_tok")

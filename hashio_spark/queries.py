@@ -2311,9 +2311,12 @@ def jaccard_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT set-similarity self-join under the oracle: every document
     pair whose 3-word-shingle Jaccard is >= 0.8, found via prefix
     filtering (operators/setsim.py) — no LSH recall loss, no all-pairs.
-    Both engines order tokens by (document frequency, token) and take
+    Each engine orders tokens by (document frequency, tiebreak) and takes
     n - ceil(tau*n) + 1 prefixes; the candidate join runs on prefix
-    tokens only."""
+    tokens only.  Spark's tiebreak is xxhash64(token) (8-byte shuffle
+    keys), DuckDB's is the token string — different candidate sets, but
+    both verify candidates EXACTLY against the real shingle sets, so the
+    outputs are identical."""
     from hashio_spark.functions.text import word_shingles_from_tokens
     from hashio_spark.operators.setsim import jaccard_join
 
