@@ -15,8 +15,11 @@
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, DoubleType, LongType
 
 
 def as_double_vec(col: Column | str) -> Column:
@@ -34,6 +37,92 @@ def norm2_expr(a: Column) -> Column:
 
 def cosine_expr(a: Column, b: Column) -> Column:
     return dot_expr(a, b) / (norm2_expr(a) * norm2_expr(b))
+
+
+@F.pandas_udf(DoubleType())
+def _pair_dot(a: pd.Series, b: pd.Series) -> pd.Series:
+    if len(a) == 0:
+        return pd.Series([], dtype="float64")
+    A = np.stack(a.to_numpy())
+    B = np.stack(b.to_numpy())
+    return pd.Series(np.einsum("ij,ij->i", A, B))
+
+
+def dot_arrow(a: Column, b: Column) -> Column:
+    """Row-wise dot product of two ``array<double>`` columns via one
+    Arrow-batched numpy ``einsum`` — the candidate-re-rank hot path,
+    where :func:`dot_expr`'s interpreted fold costs a per-element
+    evaluator pass per pair.  numpy's summation order may differ from
+    the sequential fold's in the last ulp (~1e-16 relative); callers
+    comparing the result against a threshold must hold a margin wider
+    than that (the near-dup queries measured ≥1e-4 across ALL pairs at
+    every shipped SF — see BENCH.md)."""
+    return _pair_dot(a, b)
+
+
+def banded_sign_vals(
+    vec: Column | str,
+    planes: list[list[float]],
+    n_bands: int,
+    bits: int,
+    quantize: float | None = None,
+) -> Column:
+    """``array<long>`` of ``n_bands`` hyperplane sign-bucket values for a
+    vector column, computed in ONE Arrow-batched numpy matmul.
+
+    Band *i* uses planes ``i*bits .. i*bits+bits-1``; bit *j* of its
+    value is ``dot(v, plane) > 0``.  The interpreted higher-order-fold
+    form of this (one ``F.aggregate(F.zip_with(...))`` per plane) costs
+    ``n_bands × bits`` un-codegen'd per-element evaluator passes per
+    row; the matmul replaces them with a single BLAS call per Arrow
+    batch — the hot path of every banded-LSH operator in this package.
+
+    ``quantize`` floors ``v * quantize`` before projecting.  With
+    integer ``planes`` and quantized vectors every product and partial
+    sum is an integer < 2^53, so float64 arithmetic is EXACT regardless
+    of summation order — the matmul is bit-identical to the sequential
+    fold (this is what the oracle-paired queries rely on).  With float
+    planes/vectors, signs of projections within float rounding of zero
+    may differ from the fold's — harmless for LSH (candidates shift, the
+    exact re-rank decides membership), noted for reproducibility.
+    """
+    if len(planes) != n_bands * bits:
+        raise ValueError(f"need {n_bands * bits} planes, got {len(planes)}")
+    P = np.asarray(planes, dtype=np.float64).T  # dim × (n_bands·bits)
+    weights = (1 << np.arange(bits, dtype=np.int64))
+    q = float(quantize) if quantize is not None else None
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _vals(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        V = np.stack(v.to_numpy())
+        if q is not None:
+            V = np.floor(V * q)
+        S = (V @ P) > 0  # n × (n_bands·bits) sign bits
+        vals = (S.reshape(len(V), n_bands, bits).astype(np.int64) * weights).sum(axis=2)
+        return pd.Series(list(vals))
+
+    return _vals(F.col(vec) if isinstance(vec, str) else vec)
+
+
+def plane_matrix(spark, n_planes: int, dim: int) -> list[list[float]]:
+    """Materialize the deterministic :func:`_plane_component` hyperplanes
+    as Python floats (one 1-row Spark job evaluating the literal
+    expressions), so :func:`banded_sign_vals` projects against the exact
+    same plane values the expression form would — no cross-language
+    xxhash64 re-derivation."""
+    row = (
+        spark.range(1)
+        .select(
+            *[
+                F.array(*[_plane_component(p, d) for d in range(dim)]).alias(f"p{p}")
+                for p in range(n_planes)
+            ]
+        )
+        .first()
+    )
+    return [list(row[f"p{p}"]) for p in range(n_planes)]
 
 
 def brute_force_topk(
@@ -119,60 +208,50 @@ def neardup_pairs(
     v = as_double_vec(vec_col)
     keyed = emb.select(F.col(key_col).alias("key"), v.alias("v"))
 
-    def _band_val(band: int) -> Column:
-        val = F.lit(0).cast("long")
-        for j in range(bits_per_band):
-            p = band * bits_per_band + j
-            proj = F.aggregate(
-                F.zip_with(
-                    F.col("v"),
-                    F.array(*[_plane_component(p, d) for d in range(dim)]),
-                    lambda x, w: x * w,
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            val = val.bitwiseOR(F.when(proj > 0, F.lit(1 << j)).otherwise(F.lit(0)).cast("long"))
-        return val
-
-    # norm once per vector (pre-explode); the pair re-rank folds only the
-    # dot product — 3× fewer array folds than per-pair cosine_expr
-    bands = keyed.select(
+    # all n_bands·bits plane signs per row come from ONE Arrow matmul
+    # (banded_sign_vals) instead of n_bands·bits interpreted folds — at
+    # 34 bits × 8 bands that is 272 un-codegen'd array passes per row
+    # replaced by a single BLAS call per batch.  Norm once per vector;
+    # bands carries ONLY (key, band_id, band_val) so the candidate join
+    # shuffles 3 narrow columns, never the vectors; vectors re-join from
+    # `base` AFTER the pair set is distinct, so each unordered pair is
+    # re-ranked exactly once (dot_arrow — one einsum per Arrow batch).
+    # Handles tracked on the result; release via caching.release(result).
+    planes = plane_matrix(emb.sparkSession, n_bands * bits_per_band, dim)
+    base = keyed.select("key", "v", norm2_expr(F.col("v")).alias("nrm")).persist()
+    bands = base.select(
         "key",
-        "v",
-        norm2_expr(F.col("v")).alias("nrm"),
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(i).alias("band_id"), _band_val(i).alias("band_val"))
-                for i in range(n_bands)
-            ])
-        ).alias("b"),
-    ).select("key", "v", "nrm", F.col("b.band_id").alias("band_id"), F.col("b.band_val").alias("band_val"))
-    # persisted: the plane projections feed sizes + both join sides —
-    # without this each consumer recomputes every hyperplane dot product.
-    # Handle tracked on the result; release via caching.release(result).
-    bands = bands.persist()
+        F.posexplode(banded_sign_vals(F.col("v"), planes, n_bands, bits_per_band)).alias(
+            "band_id", "band_val"
+        ),
+    ).persist()
     sizes = bands.groupBy("band_id", "band_val").agg(F.count(F.lit(1)).alias("n"))
     ok = bands.join(
         sizes.filter((F.col("n") > 1) & (F.col("n") <= max_bucket)), ["band_id", "band_val"]
-    ).select("key", "v", "nrm", "band_id", "band_val")
-    a = ok.select(F.col("key").alias("key_a"), F.col("v").alias("v_a"), F.col("nrm").alias("n_a"), "band_id", "band_val")
-    b = ok.select(F.col("key").alias("key_b"), F.col("v").alias("v_b"), F.col("nrm").alias("n_b"), "band_id", "band_val")
-    out = (
+    )
+    a = ok.select(F.col("key").alias("key_a"), "band_id", "band_val")
+    b = ok.select(F.col("key").alias("key_b"), "band_id", "band_val")
+    cand = (
         a.join(b, ["band_id", "band_val"])
         .filter(F.col("key_a") < F.col("key_b"))
+        .select("key_a", "key_b")
+        .distinct()
+    )
+    va = base.select(F.col("key").alias("key_a"), F.col("v").alias("v_a"), F.col("nrm").alias("n_a"))
+    vb = base.select(F.col("key").alias("key_b"), F.col("v").alias("v_b"), F.col("nrm").alias("n_b"))
+    out = (
+        cand.join(va, "key_a")
+        .join(vb, "key_b")
         .select(
             "key_a",
             "key_b",
-            (dot_expr(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b"))).alias("cos"),
+            (dot_arrow(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b"))).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
-        .select("key_a", "key_b", "cos")
-        .distinct()
     )
     from hashio_spark.caching import track
 
-    return track(out, bands)
+    return track(out, base, bands)
 
 
 def ivf_centroids(emb: DataFrame, key_col: str, vec_col: str, n_list: int) -> list[list[float]]:

@@ -876,61 +876,58 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (floor(x*1000)) against integer plane components, so every engine
     gets bit-identical buckets — integer dot products stay < 2^53 and are
     exact in double arithmetic regardless of summation order."""
+    from hashio_spark.operators.similarity import banded_sign_vals, dot_arrow
+
     e = _emb_double(spark, sf_dir)
-    # qv STAGED to its own projection: interpreted higher-order lambdas
-    # get no CSE, so an inline qv would re-run the floor-quantization
-    # inside every one of the 16 plane folds (finding #7 shape; the
-    # scaled variant below always staged it)
-    qv = F.transform(F.col("ve"), lambda x: F.floor(x * F.lit(1000.0)).cast("double"))
     nrm = F.sqrt(F.aggregate(F.transform(F.col("ve"), lambda x: x * x), F.lit(0.0), lambda a, v: a + v))
-    staged = e.select("vec_id", "ve", nrm.alias("nrm"), qv.alias("_qv"))
-
-    def _band_val(band: int):
-        val = F.lit(0)
-        for j in range(_NEARDUP_BAND_BITS):
-            plane = _NEARDUP_PLANES[band * _NEARDUP_BAND_BITS + j]
-            arr = F.array(*[F.lit(float(w)) for w in plane])
-            dot = F.aggregate(F.zip_with(F.col("_qv"), arr, lambda x, w: x * w), F.lit(0.0), lambda a, v: a + v)
-            val = val + F.when(dot > 0, F.lit(1 << j)).otherwise(F.lit(0))
-        return val
-
-    # norm computed ONCE per vector (before the band explode); the pair
-    # re-rank then folds only the dot product — 3× fewer array folds than
-    # a cosine that recomputes both norms per candidate pair
-    bands = staged.select(
+    # all 16 plane signs per row from ONE Arrow matmul: integer planes ×
+    # floor-quantized vectors keep every product/partial sum < 2^53, so
+    # the matmul is bit-identical to the oracle's sequential
+    # list_dot_product folds (proof in banded_sign_vals's docstring)
+    base = e.select("vec_id", "ve", nrm.alias("nrm")).persist()
+    # bands carries ONLY (vec_id, band_id, band_val): the candidate join
+    # shuffles 3 narrow columns, never the vectors; vectors re-join from
+    # `base` AFTER the pair set is distinct, so each unordered pair is
+    # re-ranked exactly once (a pair agreeing in k bands used to fold
+    # its 64-element dot k times before the old post-rerank distinct)
+    bands = base.select(
         "vec_id",
-        "ve",
-        "nrm",
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(i).alias("band_id"), _band_val(i).alias("band_val"))
-                for i in range(_NEARDUP_BANDS)
-            ])
-        ).alias("b"),
-    ).select("vec_id", "ve", "nrm", F.col("b.band_id").alias("band_id"), F.col("b.band_val").alias("band_val"))
-    # persisted: the 16 plane projections feed sizes + both join sides —
-    # without this each consumer recomputes all dot products
-    bands = bands.persist()
+        F.posexplode(
+            banded_sign_vals(
+                F.col("ve"),
+                [[float(w) for w in p] for p in _NEARDUP_PLANES],
+                _NEARDUP_BANDS,
+                _NEARDUP_BAND_BITS,
+                quantize=1000.0,
+            )
+        ).alias("band_id", "band_val"),
+    ).persist()
     sizes = bands.groupBy("band_id", "band_val").agg(F.count(F.lit(1)).alias("n"))
     ok = bands.join(
         sizes.filter((F.col("n") > 1) & (F.col("n") <= _NEARDUP_MAX_BUCKET)), ["band_id", "band_val"]
-    ).select("vec_id", "ve", "nrm", "band_id", "band_val")
-    a = ok.select(F.col("vec_id").alias("a_id"), F.col("ve").alias("a_ve"), F.col("nrm").alias("a_n"), "band_id", "band_val")
-    b = ok.select(F.col("vec_id").alias("b_id"), F.col("ve").alias("b_ve"), F.col("nrm").alias("b_n"), "band_id", "band_val")
-    dot = F.aggregate(
-        F.zip_with(F.col("a_ve"), F.col("b_ve"), lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
     )
-    out = (
+    a = ok.select(F.col("vec_id").alias("a_id"), "band_id", "band_val")
+    b = ok.select(F.col("vec_id").alias("b_id"), "band_id", "band_val")
+    cand = (
         a.join(b, ["band_id", "band_val"])
         .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id", (dot / (F.col("a_n") * F.col("b_n"))).alias("cos"))
-        .filter(F.col("cos") >= 0.45)
         .select("a_id", "b_id")
         .distinct()
     )
+    va = base.select(F.col("vec_id").alias("a_id"), F.col("ve").alias("a_ve"), F.col("nrm").alias("a_n"))
+    vb = base.select(F.col("vec_id").alias("b_id"), F.col("ve").alias("b_ve"), F.col("nrm").alias("b_n"))
+    # exact cosine re-rank via one Arrow einsum per batch (dot_arrow);
+    # decision-safe: min |cos - 0.45| across ALL pairs is >= 1e-4 at
+    # every shipped SF vs ~1e-16 summation-order noise
+    out = (
+        cand.join(va, "a_id")
+        .join(vb, "b_id")
+        .filter(dot_arrow(F.col("a_ve"), F.col("b_ve")) / (F.col("a_n") * F.col("b_n")) >= 0.45)
+        .select("a_id", "b_id")
+    )
     from hashio_spark.caching import track
 
-    return track(out, bands)
+    return track(out, base, bands)
 
 
 def _neardup_sql() -> str:
@@ -1001,61 +998,49 @@ def embedding_neardup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus instead of quadratic — the 100-TB-safe shape of
     :func:`embedding_neardup`, which pins r=4/b=4 for oracle literalism.
 
-    The 48 plane signs are computed ONCE per row in a staged projection
-    (interpreted higher-order lambdas get no CSE; inlining the quantized
-    vector into every fold would recompute it per plane), then each band
-    folds ``bits`` signs into its bucket id.  Signs are taken on vectors
-    quantized to integers against integer plane components — dot products
-    < 2^53, exact in doubles, bit-identical across engines."""
+    All ``4·bits`` plane signs per row come from ONE Arrow matmul
+    (:func:`operators.similarity.banded_sign_vals`).  Signs are taken on
+    vectors quantized to integers against integer plane components — dot
+    products < 2^53, exact in doubles, so the matmul is bit-identical to
+    the oracle's sequential folds."""
+    from hashio_spark.operators.similarity import banded_sign_vals, dot_arrow
+
     e = _emb_double(spark, sf_dir)
     bits = _scaled_bits(e.count())
     nrm = F.sqrt(F.aggregate(F.transform(F.col("ve"), lambda x: x * x), F.lit(0.0), lambda a, v: a + v))
-    qv = F.transform(F.col("ve"), lambda x: F.floor(x * F.lit(1000.0)).cast("double"))
-    staged = e.select("vec_id", "ve", nrm.alias("nrm"), qv.alias("qv"))
-
-    def dot_plane(p: int):
-        arr = F.array(*[F.lit(float(w)) for w in _SCALED_PLANES[p]])
-        return F.aggregate(F.zip_with(F.col("qv"), arr, lambda x, w: x * w), F.lit(0.0), lambda a, v: a + v)
-
-    sgn = staged.select(
-        "vec_id", "ve", "nrm",
-        *[F.when(dot_plane(p) > 0, 1).otherwise(0).alias(f"_s{p}") for p in range(_SCALED_BANDS * bits)],
-    )
-
-    def band_val(band: int):
-        v = F.lit(0)
-        for j in range(bits):
-            v = v + F.col(f"_s{band * bits + j}") * F.lit(1 << j)
-        return v
-
-    bands = sgn.select(
-        "vec_id", "ve", "nrm",
-        F.explode(F.array(*[
-            F.struct(F.lit(i).alias("band_id"), band_val(i).alias("band_val"))
-            for i in range(_SCALED_BANDS)
-        ])).alias("b"),
-    ).select("vec_id", "ve", "nrm", F.col("b.band_id").alias("band_id"), F.col("b.band_val").alias("band_val"))
-    bands = bands.persist()
+    planes = [[float(w) for w in p] for p in _SCALED_PLANES[: _SCALED_BANDS * bits]]
+    base = e.select("vec_id", "ve", nrm.alias("nrm")).persist()
+    # narrow bands + distinct-before-rerank + Arrow re-rank: same shape
+    # and rationale as embedding_neardup above
+    bands = base.select(
+        "vec_id",
+        F.posexplode(
+            banded_sign_vals(F.col("ve"), planes, _SCALED_BANDS, bits, quantize=1000.0)
+        ).alias("band_id", "band_val"),
+    ).persist()
     sizes = bands.groupBy("band_id", "band_val").agg(F.count(F.lit(1)).alias("n"))
     ok = bands.join(
         sizes.filter((F.col("n") > 1) & (F.col("n") <= _SCALED_MAX_BUCKET)), ["band_id", "band_val"]
-    ).select("vec_id", "ve", "nrm", "band_id", "band_val")
-    a = ok.select(F.col("vec_id").alias("a_id"), F.col("ve").alias("a_ve"), F.col("nrm").alias("a_n"), "band_id", "band_val")
-    b = ok.select(F.col("vec_id").alias("b_id"), F.col("ve").alias("b_ve"), F.col("nrm").alias("b_n"), "band_id", "band_val")
-    dot = F.aggregate(
-        F.zip_with(F.col("a_ve"), F.col("b_ve"), lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
     )
-    out = (
+    a = ok.select(F.col("vec_id").alias("a_id"), "band_id", "band_val")
+    b = ok.select(F.col("vec_id").alias("b_id"), "band_id", "band_val")
+    cand = (
         a.join(b, ["band_id", "band_val"])
         .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id", (dot / (F.col("a_n") * F.col("b_n"))).alias("cos"))
-        .filter(F.col("cos") >= 0.45)
         .select("a_id", "b_id")
         .distinct()
     )
+    va = base.select(F.col("vec_id").alias("a_id"), F.col("ve").alias("a_ve"), F.col("nrm").alias("a_n"))
+    vb = base.select(F.col("vec_id").alias("b_id"), F.col("ve").alias("b_ve"), F.col("nrm").alias("b_n"))
+    out = (
+        cand.join(va, "a_id")
+        .join(vb, "b_id")
+        .filter(dot_arrow(F.col("a_ve"), F.col("b_ve")) / (F.col("a_n") * F.col("b_n")) >= 0.45)
+        .select("a_id", "b_id")
+    )
     from hashio_spark.caching import track
 
-    return track(out, bands)
+    return track(out, base, bands)
 
 
 def _neardup_scaled_sql() -> str:
