@@ -1260,35 +1260,18 @@ _SIMHASH_MD5_BITS = 60  # 15 hex chars of md5 → fits a signed 64-bit int
 
 def simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-checked SimHash: token hash = first 15 hex chars of md5
-    parsed as int (engine-portable), single-pass 60-bit majority vote —
-    same plan shape as the production xxhash64 operator."""
+    parsed as int (engine-portable, JVM-side), 60-bit majority vote via
+    the shared Arrow kernel (operators/dedupe.simhash_from_hashes) —
+    all-integer, bit-identical to the SQL formulation."""
+    from hashio_spark.operators.dedupe import simhash_from_hashes
+
     d = _t(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-
-    def mask(b: int):
-        return F.shiftleft(F.lit(1).cast("long"), b)
-
     # token hash bound ONCE per token (r02 VERDICT #3), then voted over
     hashes = F.transform(
-        toks, lambda t: F.conv(F.substring(F.md5(t.cast("binary")), 1, 15), 16, 10).cast("long")
+        F.split(F.col("text"), " "),
+        lambda t: F.conv(F.substring(F.md5(t.cast("binary")), 1, 15), 16, 10).cast("long"),
     )
-    votes = F.transform(
-        hashes,
-        lambda h: F.array(
-            *[F.when(h.bitwiseAND(mask(b)) != 0, 1).otherwise(-1) for b in range(_SIMHASH_MD5_BITS)]
-        ),
-    )
-    counts = F.aggregate(
-        votes,
-        F.array_repeat(F.lit(0), _SIMHASH_MD5_BITS),
-        lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b),
-    )
-    with_counts = d.select("doc_id", counts.alias("_cnt"))
-    sim = None
-    for b in range(_SIMHASH_MD5_BITS):
-        bit = F.when(F.element_at(F.col("_cnt"), b + 1) > 0, mask(b)).otherwise(F.lit(0).cast("long"))
-        sim = bit if sim is None else sim.bitwiseOR(bit)
-    return with_counts.select("doc_id", sim.alias("simhash"))
+    return d.select("doc_id", simhash_from_hashes(hashes, _SIMHASH_MD5_BITS).alias("simhash"))
 
 
 SIMHASH_MD5_SQL = f"""
