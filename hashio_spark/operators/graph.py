@@ -39,12 +39,30 @@ from pyspark.sql import functions as F
 
 
 def connected_components(
-    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 25
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+    driver_threshold: int = 100_000,
 ) -> DataFrame:
     """(node, component) for every node in ``edges``; ``component`` is
     the smallest node id reachable from it.  Nodes are whatever type the
     edge columns are; isolated nodes (absent from ``edges``) are absent
-    from the output — union them in with their own id if needed."""
+    from the output — union them in with their own id if needed.
+
+    Size-gated hybrid: when the deduplicated symmetric edge set has at
+    most ``driver_threshold`` rows (an exact count on the persisted
+    frame, not an estimate), the components come from a driver-side
+    union-find — the edge set is KB-to-MB scale there, and each
+    distributed round costs two actions plus a checkpoint of pure
+    scheduling latency that dwarfs the actual work.  Above the gate the
+    iterative min-label propagation below runs unchanged; it is the only
+    shape that survives graphs whose edge set exceeds driver memory
+    (10^12-doc corpora can hold billions of near-dup edges).  Both paths
+    produce the identical labeling (component = min reachable node), so
+    the gate is a pure latency decision, same as the broadcast-vs-shuffle
+    join threshold.  Set ``driver_threshold=0`` to force the distributed
+    path."""
     a, b = F.col(src), F.col(dst)
     sym = (
         edges.select(a.alias("n"), b.alias("m"))
@@ -52,6 +70,34 @@ def connected_components(
         .distinct()
         .persist()
     )
+    if driver_threshold > 0 and sym.count() <= driver_threshold:
+        try:
+            rows = sym.collect()
+            parent: dict = {}
+
+            def find(x):
+                root = x
+                while parent[root] != root:
+                    root = parent[root]
+                while parent[x] != root:  # path compression
+                    parent[x], x = root, parent[x]
+                return root
+
+            for r in rows:
+                n, m = r["n"], r["m"]
+                parent.setdefault(n, n)
+                parent.setdefault(m, m)
+                rn, rm = find(n), find(m)
+                if rn != rm:
+                    # union by min so every root IS its component's min id
+                    lo, hi = (rn, rm) if rn <= rm else (rm, rn)
+                    parent[hi] = lo
+            out_rows = [(x, find(x)) for x in parent]
+            spark = edges.sparkSession
+            schema = sym.select(F.col("n").alias("node"), F.col("m").alias("component")).schema
+            return spark.createDataFrame(out_rows, schema)
+        finally:
+            sym.unpersist()
     labels = (
         sym.select("n")
         .distinct()

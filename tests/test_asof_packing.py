@@ -321,20 +321,42 @@ def test_asof_null_timestamps_never_match(spark):
 
 def test_connected_components_raises_on_nonconvergence(spark):
     """A path graph of diameter > max_iter must fail loudly, not return
-    mid-propagation labels as if they were clusters."""
+    mid-propagation labels as if they were clusters (driver_threshold=0
+    forces the distributed path the guard lives in)."""
     from hashio_spark.operators.graph import connected_components
 
     path = spark.createDataFrame(
         [(i, i + 1) for i in range(10)], "src long, dst long"
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(path, max_iter=3).collect()
+        connected_components(path, max_iter=3, driver_threshold=0).collect()
     # and with enough rounds the same graph is one component
-    cc = connected_components(path, max_iter=25)
+    cc = connected_components(path, max_iter=25, driver_threshold=0)
     assert {r["component"] for r in cc.collect()} == {0}
     from hashio_spark.caching import release
 
     release(cc)
+
+
+def test_connected_components_driver_and_distributed_agree(spark):
+    """The size-gated driver union-find must produce the identical
+    (node, component) labeling as the distributed label propagation —
+    the gate is a latency decision, never a semantics one."""
+    from hashio_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 40, 2)]      # 20 disjoint pairs
+        + [(100, 101), (101, 102), (102, 103)]     # one chain
+        + [(200, 201), (201, 202), (200, 202)],    # one triangle
+        "src long, dst long",
+    )
+    via_driver = {(r["node"], r["component"]) for r in connected_components(edges).collect()}
+    via_rounds = {
+        (r["node"], r["component"])
+        for r in connected_components(edges, driver_threshold=0).collect()
+    }
+    assert via_driver == via_rounds
+    assert (103, 100) in via_driver and (202, 200) in via_driver
 
 
 def test_sequence_manifest_covers_straddling_docs(spark):
