@@ -19,8 +19,12 @@ commutative/associative → map-side partials everywhere.
 
 from __future__ import annotations
 
+import hashlib
+
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType
 
 SKETCH_KEY = "doc_id_hll"
 
@@ -123,6 +127,39 @@ def bloom_lane_exprs(
     return lanes
 
 
+def bloom_lanes_arrow(
+    key, n_lanes: int = _BLOOM_LANES, n_hashes: int = _BLOOM_HASHES
+) -> F.Column:
+    """Per-row bloom lanes as ONE ``array<long>`` column, hashed in an
+    Arrow pandas UDF (per-process hashlib) instead of ``k`` builtin
+    ``md5`` calls per row — Spark's JCA md5 serializes on a JVM-wide
+    lock (BENCH.md finding #1), so the expression form convoys at high
+    thread counts on exactly the row-level builder path this serves.
+    Position arithmetic is bit-identical to :func:`_positions`
+    (``int(md5('bf{j}|'+key).hexdigest()[:15], 16) % m`` — pure integer
+    ops); NULL keys yield NULL (the expression form's md5(NULL) is NULL
+    → no bits, so callers should filter nulls either way)."""
+    n_bits = n_lanes * _LANE_BITS
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _lanes(s: pd.Series) -> pd.Series:
+        prefixes = [f"bf{j}|".encode() for j in range(n_hashes)]
+        out = []
+        for v in s:
+            if v is None:
+                out.append(None)
+                continue
+            raw = v.encode() if isinstance(v, str) else bytes(v)
+            lanes = [0] * n_lanes
+            for pref in prefixes:
+                p = int(hashlib.md5(pref + raw).hexdigest()[:15], 16) % n_bits
+                lanes[p // _LANE_BITS] |= 1 << (p % _LANE_BITS)
+            out.append(lanes)
+        return pd.Series(out)
+
+    return _lanes(F.col(key) if isinstance(key, str) else key)
+
+
 def partition_fingerprint(
     df: DataFrame,
     part_col: str,
@@ -134,10 +171,16 @@ def partition_fingerprint(
     lane_00..lane_15).  ONE hash-aggregate over (part_col, key_col) —
     the only shuffle is n_lanes longs per partition.  False-positive
     rate ≈ (1-e^{-kn/m})^k: ~0.26% at 1 000 keys/partition, k=4,
-    m=1008; size the lanes up for bigger partitions."""
-    rows = df.select(F.col(part_col), *bloom_lane_exprs(key_col, n_lanes, n_hashes))
+    m=1008; size the lanes up for bigger partitions.  Row-level hashing
+    runs in :func:`bloom_lanes_arrow` (lock-free hashlib); the staged
+    ``_bl`` array is a bound attribute, so the 16 ``element_at`` reads
+    cost no recompute."""
+    rows = df.select(F.col(part_col), bloom_lanes_arrow(key_col, n_lanes, n_hashes).alias("_bl"))
     return rows.groupBy(part_col).agg(
-        *[F.bit_or(f"lane_{i:02d}").alias(f"lane_{i:02d}") for i in range(n_lanes)]
+        *[
+            F.bit_or(F.element_at(F.col("_bl"), i + 1)).alias(f"lane_{i:02d}")
+            for i in range(n_lanes)
+        ]
     )
 
 
@@ -195,14 +238,15 @@ def _probe_cond(key_col: str, n_lanes: int, n_hashes: int) -> F.Column:
     return cond
 
 
-def bloom_agg_expr(prefix: str = "_bl_", n_lanes: int = _BLOOM_LANES) -> F.Column:
-    """bit_or-fold per-row lane columns (named ``{prefix}NN``) straight
-    into the serialized hex form — one aggregate expression, so the
-    fingerprint can ride any existing groupBy (validate's side scan)."""
+def bloom_agg_expr(lanes_col: str = "_bl", n_lanes: int = _BLOOM_LANES) -> F.Column:
+    """bit_or-fold a per-row ``array<long>`` lane column (from
+    :func:`bloom_lanes_arrow`) straight into the serialized hex form —
+    one aggregate expression, so the fingerprint can ride any existing
+    groupBy (validate's side scan)."""
     return F.concat_ws(
         ",",
         *[
-            F.lpad(F.hex(F.bit_or(f"{prefix}{i:02d}")), 16, "0")
+            F.lpad(F.hex(F.bit_or(F.element_at(F.col(lanes_col), i + 1))), 16, "0")
             for i in range(n_lanes)
         ],
     )

@@ -214,7 +214,7 @@ def validate(
             BLOOM_KEY,
             SKETCH_KEY,
             bloom_agg_expr,
-            bloom_lane_exprs,
+            bloom_lanes_arrow,
             hll_sketch_expr,
         )
 
@@ -225,11 +225,11 @@ def validate(
         side_aggs.append(hll_sketch_expr("_sk_id").alias(SKETCH_KEY))
         # doc_id bloom fingerprint rides the same scan: 16 bit_or longs
         # per partition, so later point lookups ("was doc X validated?")
-        # prune from manifest rows alone (sketches.manifest_probe)
-        side_sel.extend(
-            bloom_lane_exprs(F.col("doc_id").cast("string"), prefix="_bl_")
-        )
-        side_aggs.append(bloom_agg_expr().alias(BLOOM_KEY))
+        # prune from manifest rows alone (sketches.manifest_probe).
+        # Lanes come from the Arrow kernel (lock-free hashlib md5 —
+        # BENCH.md finding #1), staged as one array column.
+        side_sel.append(bloom_lanes_arrow(F.col("doc_id").cast("string")).alias("_bl"))
+        side_aggs.append(bloom_agg_expr("_bl").alias(BLOOM_KEY))
     if side_aggs:
         side = docs.select(*side_sel).groupBy("partition_id").agg(*side_aggs)
         report = report.join(side, "partition_id", "left_outer")

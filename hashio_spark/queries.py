@@ -3160,8 +3160,12 @@ def partition_bloom_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         partition_fingerprint,
     )
 
+    from hashio_spark.functions.digests import parity_udf
+
+    # Arrow md5 (lock-free hashlib) for the row-level digest — the JVM
+    # builtin serializes on the JCA lock (BENCH.md finding #1)
     d = _t(spark, sf_dir, "documents").select(
-        "source", F.md5(F.col("text").cast("binary")).alias("digest")
+        "source", parity_udf("md5")(F.col("text")).alias("digest")
     )
     fp = partition_fingerprint(d, "source", "digest")
     return fp.select("source", bloom_serialize_expr().alias("bloom")).orderBy("source")
@@ -3219,8 +3223,12 @@ def bloom_probe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         partition_fingerprint,
     )
 
+    from hashio_spark.functions.digests import parity_udf
+
+    # Arrow md5 (lock-free hashlib) for the row-level digest — the JVM
+    # builtin serializes on the JCA lock (BENCH.md finding #1)
     d = _t(spark, sf_dir, "documents").select(
-        "doc_id", "source", F.md5(F.col("text").cast("binary")).alias("digest")
+        "doc_id", "source", parity_udf("md5")(F.col("text")).alias("digest")
     )
     fp = partition_fingerprint(d, "source", "digest")
     present = d.filter(F.col("doc_id") < 5).select("digest")
