@@ -2930,24 +2930,44 @@ def drift_trend_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     PSI then parses back through the stored-manifest path
     (split → cast → psi_from_hist_pair) — the full round-trip the
     manifest store's drift monitoring performs, minus the store I/O.
-    One trend row per consecutive pair."""
+    One trend row per consecutive pair.
+
+    ONE corpus scan for all three runs: each row emits its (run, metric)
+    memberships through an ``F.array`` generator (immune to the
+    inferred-filter duplication, BENCH.md finding #8 — absent runs are
+    NULL structs filtered on the generated attribute), and the 15-row
+    histogram table persists so the two consecutive-pair consumers never
+    rescan — the former per-run union re-read the corpus once per
+    consumer branch (4 scans)."""
+    from hashio_spark.caching import track
     from hashio_spark.operators.drift import hist_string_agg, psi_from_hist_pair
 
     d = _t(spark, sf_dir, "documents")
-    runs = [
-        ("r0", d.select("doc_id", F.col("n_chars").alias("_m"))),
-        ("r1", d.filter(F.col("doc_id") % 7 != 0).select("doc_id", F.col("n_chars").alias("_m"))),
-        ("r2", d.filter(F.col("doc_id") % 3 != 0).select("doc_id", (F.col("n_chars") + 80).alias("_m"))),
-    ]
-    hists = None
-    for name, df in runs:
-        h = (
-            df.select(F.pmod(F.col("doc_id"), F.lit(5)).cast("int").alias("partition_id"), "_m")
-            .groupBy("partition_id")
-            .agg(hist_string_agg("_m", 0.0, 600.0, 20).alias("hist"))
-            .select(F.lit(name).alias("run"), "partition_id", "hist")
+    null_l = F.lit(None).cast("long")
+    memberships = F.array(
+        F.struct(F.lit("r0").alias("run"), F.col("n_chars").cast("long").alias("m")),
+        F.struct(
+            F.lit("r1").alias("run"),
+            F.when(F.col("doc_id") % 7 != 0, F.col("n_chars").cast("long")).otherwise(null_l).alias("m"),
+        ),
+        F.struct(
+            F.lit("r2").alias("run"),
+            F.when(F.col("doc_id") % 3 != 0, (F.col("n_chars") + 80).cast("long")).otherwise(null_l).alias("m"),
+        ),
+    )
+    rows = (
+        d.select(
+            F.pmod(F.col("doc_id"), F.lit(5)).cast("int").alias("partition_id"),
+            F.explode(memberships).alias("e"),
         )
-        hists = h if hists is None else hists.unionByName(h)
+        .select("partition_id", F.col("e.run").alias("run"), F.col("e.m").alias("_m"))
+        .filter(F.col("_m").isNotNull())
+    )
+    hists = (
+        rows.groupBy("run", "partition_id")
+        .agg(hist_string_agg("_m", 0.0, 600.0, 20).alias("hist"))
+        .persist()
+    )
     pairs = None
     for run_a, run_b in (("r0", "r1"), ("r1", "r2")):
         a = hists.filter(F.col("run") == run_a).select("partition_id", F.col("hist").alias("_sa"))
@@ -2977,7 +2997,7 @@ def drift_trend_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_partitions", "n_drifted", "max_psi", "mean_psi",
         )
         pairs = t if pairs is None else pairs.unionByName(t)
-    return pairs
+    return track(pairs, hists)
 
 
 DRIFT_TREND_SQL = """
