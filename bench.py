@@ -628,8 +628,13 @@ def main() -> None:
     # campaign recorded 2v8 at 0.449 off passes whose JVM cpu-clock read
     # 467/190 s vs ~150 s settled.  Runs after the primary top-ups: the
     # binding number's rescue outranks the alt pair's refinement.
+    # ONE round only: a min-of-3 alt leg rarely moves in a fourth window,
+    # and the 0.79x readings this chases are the documented 6M-scale
+    # fixed-overhead artifact (scaling_at_12m_ref carries the amortized
+    # 0.867) — the round-5 shakedown burned ~300 s of catalog budget
+    # nudging 0.796 and gained nothing.
     if b_alt_small is not None:
-        for _round in range(2):
+        for _round in range(1):
             if out["scaling_alt"]["efficiency"] >= 0.8:
                 break
             ran = False
@@ -644,7 +649,11 @@ def main() -> None:
                 break
 
     # -- Section 3: catalog queries at SF_DIR -------------------------------
-    if budget_left() > 240:
+    # entry gate 120 s, not a full-catalog reserve: the loop truncates at
+    # <60 s left and emits every 10 legs, so a partial catalog is recorded
+    # over none (the round-5 shakedown missed the former 240 s gate by
+    # ONE second and lost the whole section)
+    if budget_left() > 120:
         from hashio_spark.queries import REGISTRY
         from hashio_spark.session import get_spark
 
