@@ -49,7 +49,7 @@ def _drive(bench, monkeypatch, capsys, seq, budget=10_000):
     """Run main() with scripted per-topology batch walls; return emitted lines."""
     idx: dict[str, int] = {}
 
-    def fake_batch(cores, n, algo=None):
+    def fake_batch(cores, n, algo=None, max_retries=8):
         k = str(cores)
         i = idx.get(k, 0)
         idx[k] = i + 1
