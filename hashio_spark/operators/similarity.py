@@ -96,12 +96,21 @@ def banded_sign_vals(
     def _vals(v: pd.Series) -> pd.Series:
         if len(v) == 0:
             return pd.Series([], dtype=object)
-        V = np.stack(v.to_numpy())
+        arrs = v.to_numpy()
+        null = np.array([a is None for a in arrs])
+        if null.all():
+            return pd.Series([None] * len(v), dtype=object)
+        V = np.stack(arrs[~null])
         if q is not None:
             V = np.floor(V * q)
         S = (V @ P) > 0  # n × (n_bands·bits) sign bits
         vals = (S.reshape(len(V), n_bands, bits).astype(np.int64) * weights).sum(axis=2)
-        return pd.Series(list(vals))
+        # NULL vector → NULL band array (the expression form's folds were
+        # null-propagating, and posexplode over NULL emits no rows)
+        out = np.full(len(v), None, dtype=object)
+        for j, row in zip(np.flatnonzero(~null), vals):
+            out[j] = row
+        return pd.Series(out)
 
     return _vals(F.col(vec) if isinstance(vec, str) else vec)
 

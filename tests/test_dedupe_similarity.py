@@ -120,6 +120,22 @@ def test_embedding_neardup_pairs(embeddings):
     assert {(r["key_a"], r["key_b"]) for r in out} == {(0, 1)}
 
 
+def test_neardup_pairs_null_vector_skipped(spark, embeddings):
+    """A NULL embedding row must yield NULL band values (posexplode emits
+    no rows for it) instead of crashing the Arrow sign kernel — the
+    null-propagation the old expression-fold form had."""
+    from pyspark.sql import functions as F
+
+    with_null = embeddings.unionByName(
+        spark.createDataFrame(
+            [(999,)], "vec_id long"
+        ).select("vec_id", F.lit(None).cast("array<float>").alias("embedding"))
+    )
+    out = S.neardup_pairs(with_null, "vec_id", "embedding", threshold=0.95, dim=16).collect()
+    assert {(r["key_a"], r["key_b"]) for r in out} == {(0, 1)}
+    assert all(999 not in (r["key_a"], r["key_b"]) for r in out)
+
+
 def test_neardup_pairs_adaptive(embeddings):
     """Adaptive-planes full-corpus near-dup: planted pair (0,1) with
     cosine≈1 lands in the same bucket (deterministic planes) and survives
