@@ -79,6 +79,16 @@ def test_simhash64_golden(text_docs, short_docs):
         assert got == expected
 
 
+def test_simhash64_null_text_yields_null(spark):
+    """NULL text → NULL simhash (split(NULL) is NULL and the Arrow vote
+    kernel must propagate it, matching the old fold's null semantics)."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(1, "a b c"), (2, None)], "doc_id long, text string")
+    got = {r["key"]: r["simhash"] for r in D.simhash64(df, "doc_id", "text").collect()}
+    assert got[2] is None and got[1] is not None
+
+
 def test_simhash_near_dup_hamming(text_docs):
     sim = D.simhash64(text_docs, "doc_id", "text")
     vals = {r["key"]: r["simhash"] for r in sim.collect()}
