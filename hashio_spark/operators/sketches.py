@@ -93,40 +93,6 @@ def _positions(col, n_hashes: int, n_bits: int) -> list[F.Column]:
     ]
 
 
-def bloom_lane_exprs(
-    col,
-    n_lanes: int = _BLOOM_LANES,
-    n_hashes: int = _BLOOM_HASHES,
-    prefix: str = "lane_",
-) -> list[F.Column]:
-    """Per-ROW bloom contribution as ``n_lanes`` long columns
-    (``lane_00``…): bit ``p mod 63`` of lane ``p div 63`` set for each of
-    the k hash positions.  Aggregating each lane with ``bit_or`` per
-    partition yields the partition fingerprint — bit_or is commutative/
-    associative, so Spark runs map-side partials and the shuffle carries
-    exactly ``n_lanes`` longs per partition regardless of row count.
-    Pure shift/mask expressions: whole-stage codegen, no UDF."""
-    pos = _positions(col, n_hashes, n_lanes * _LANE_BITS)
-    lanes = []
-    for i in range(n_lanes):
-        v = F.lit(0).cast("long")
-        for p in pos:
-            v = v.bitwiseOR(
-                F.when(
-                    (p / _LANE_BITS).cast("long") == i,
-                    # call_function: the shiftleft python wrapper only
-                    # takes int shifts, the SQL function takes a column
-                    F.call_function(
-                        "shiftleft",
-                        F.lit(1).cast("long"),
-                        F.pmod(p, F.lit(_LANE_BITS)).cast("int"),
-                    ),
-                ).otherwise(F.lit(0).cast("long"))
-            )
-        lanes.append(v.alias(f"{prefix}{i:02d}"))
-    return lanes
-
-
 def bloom_lanes_arrow(
     key, n_lanes: int = _BLOOM_LANES, n_hashes: int = _BLOOM_HASHES
 ) -> F.Column:

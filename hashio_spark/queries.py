@@ -3192,7 +3192,7 @@ def partition_bloom_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bloom_sql_parts(key: str, n_lanes: int = 16, n_hashes: int = 4, lane_bits: int = 63):
-    """Shared SQL fragments replicating sketches._positions / bloom_lane_exprs."""
+    """Shared SQL fragments replicating sketches._positions / bloom_lanes_arrow."""
     n_bits = n_lanes * lane_bits
     pos = [
         f"CAST(concat('0x', substr(md5(concat('bf{j}|', {key})), 1, 15)) AS BIGINT) % {n_bits}"
