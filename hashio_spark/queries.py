@@ -14,6 +14,7 @@ Alignment rules (the driver hash-compares values column-by-column):
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -31,6 +32,30 @@ from hashio_spark.operators import verify as verify_ops
 
 _TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
 
+# Scan-parallelism floor (guide §2.2/§6): tables at or below this size get
+# one round-robin exchange right after the scan.  The sandbox testdata is
+# single-file parquet with ONE row group for every table except lineitem —
+# parquet cannot be split below a row group, so the scan yields one task
+# and every expression-heavy pipeline above it (md5 shingle minhash,
+# set-similarity ordering, Arrow matmuls) runs serial while the other 31
+# cores idle (measured: dedupe_minhash_lsh 13.7 s at sf1.0, single scan
+# task).  Shuffling a ≤64 MB table costs milliseconds and fans all
+# downstream work out to every core.  The gate derives from the input
+# size, not a local core count: at production scale any table past 64 MB
+# has enough natural splits and is left untouched, so this is exactly the
+# small-input fix-up AQE coalescing performs in the other direction.
+_FANOUT_MAX_BYTES = int(os.environ.get("SPARK_GRAFT_FANOUT_MAX_BYTES", str(64 * 1024 * 1024)))
+
+
+def _table_bytes(path: str) -> int:
+    if os.path.isdir(path):
+        return sum(
+            os.path.getsize(os.path.join(path, f))
+            for f in os.listdir(path)
+            if not f.startswith((".", "_"))
+        )
+    return os.path.getsize(path)
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Table reader, memoized per (session, sf_dir, table): a correctness
@@ -38,11 +63,23 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ``spark.read.parquet`` call pays driver-side file listing + schema
     resolution — identical every time.  The memo stores the lazy
     DataFrame (no persist: caching data would change what the bench
-    catalog measures), so repeated queries share one resolved plan."""
+    catalog measures), so repeated queries share one resolved plan.
+
+    Small tables additionally get a round-robin fan-out exchange (see
+    ``_FANOUT_MAX_BYTES``) so single-row-group files don't serialize the
+    whole query on one scan task."""
     key = (id(spark), sf_dir, name)
     df = _TABLE_CACHE.get(key)
     if df is None:
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        path = f"{sf_dir}/{name}.parquet"
+        df = spark.read.parquet(path)
+        n = spark.sparkContext.defaultParallelism
+        try:
+            small = _table_bytes(path) <= _FANOUT_MAX_BYTES
+        except OSError:
+            small = False
+        if small and n > 1:
+            df = df.repartition(n)
         _TABLE_CACHE[key] = df
     return df
 

@@ -23,10 +23,20 @@ def get_spark(
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
         shuffle_partitions = max(cores, 8)
+    # Scan split size (guide §6): the sandbox testdata is single-file
+    # parquet whose row groups cap scan parallelism anyway (≤6 row groups
+    # at sf1.0), so a 16m split ceiling only un-glues the 128m default's
+    # 1-2-task scans of the mid-size tables; on a production deployment
+    # with many large files set SPARK_GRAFT_MAX_PARTITION_BYTES back to
+    # 128m-1g (guide §6 recommends larger splits for big sequential
+    # scans).  bench.py's own flagship session pins 8m for the same
+    # reason.
+    max_part_bytes = os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "16m")
     b = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.files.maxPartitionBytes", max_part_bytes)
         .config("spark.default.parallelism", str(cores))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
