@@ -157,18 +157,47 @@ def check_schema(df: DataFrame, contract: list[SchemaField], strict: bool = Fals
     One verdict row per contract field — status ``ok`` / ``missing`` /
     ``type_mismatch`` / ``nullability`` — plus, when ``strict``, one
     ``unexpected`` row per physical column the contract does not name.
-    Struct/array types compare by normalized ``simpleString`` (the
-    reference has no schema layer; this is the north-rule
-    generalization).
+    Struct/array types compare STRUCTURALLY: struct fields match by NAME
+    (order-insensitive — downstream consumers access fields by name, so
+    a writer that serialized the same fields in a different order is
+    valid), and integer widths coerce (an ``int`` contract accepts a
+    ``bigint`` column and vice versa — common across writers; ADVICE r5).
     """
+
+    def _compat(want, got) -> bool:
+        import pyspark.sql.types as T
+
+        _ints = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+        if isinstance(want, T.StructType) and isinstance(got, T.StructType):
+            wf = {f.name: f.dataType for f in want.fields}
+            gf = {f.name: f.dataType for f in got.fields}
+            return set(wf) == set(gf) and all(_compat(wf[k], gf[k]) for k in wf)
+        if isinstance(want, T.ArrayType) and isinstance(got, T.ArrayType):
+            return _compat(want.elementType, got.elementType)
+        if isinstance(want, T.MapType) and isinstance(got, T.MapType):
+            return _compat(want.keyType, got.keyType) and _compat(want.valueType, got.valueType)
+        if isinstance(want, _ints) and isinstance(got, _ints):
+            return True
+        return want.simpleString() == got.simpleString()
+
+    import pyspark.sql.types as T
+
     actual = {f.name: f for f in df.schema.fields}
     rows: list[tuple[str, str, str | None, str]] = []
     for c in contract:
         f = actual.get(c.name)
         want = "".join(c.dtype.split()).lower()
+        try:
+            want_dt = T._parse_datatype_string(want)
+        except Exception:
+            want_dt = None
         if f is None:
             rows.append((c.name, c.dtype, None, "missing"))
-        elif f.dataType.simpleString() != want:
+        elif not (
+            _compat(want_dt, f.dataType)
+            if want_dt is not None
+            else f.dataType.simpleString() == want
+        ):
             rows.append((c.name, c.dtype, f.dataType.simpleString(), "type_mismatch"))
         elif not c.nullable and f.nullable:
             rows.append((c.name, c.dtype, f.dataType.simpleString(), "nullability"))

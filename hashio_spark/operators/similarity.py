@@ -208,7 +208,15 @@ def neardup_pairs(
     count would be quadratic (r02 VERDICT #2).  Recall at per-bit
     agreement p = 1 - θ/π is ``1-(1-p^r)^b`` — raise ``n_bands`` (cost
     ∝ b) to buy recall at a fixed bucket granularity.  The count() used
-    for sizing is skipped when ``bits_per_band`` is given."""
+    for sizing is skipped when ``bits_per_band`` is given.
+
+    PRECONDITION: ``key_col`` values must be unique (one row per key).
+    The candidate set is distinct on (key_a, key_b) and the vectors are
+    re-joined by key afterwards, so a key appearing k times multiplies
+    the re-join output k² ways and emits the same pair repeatedly
+    (ADVICE r5).  Dedupe upstream (``dedupe_exact`` /
+    ``dropDuplicates([key])``) before calling — the operator does not
+    pay a corpus-wide dedupe for well-formed inputs."""
     import math
 
     if bits_per_band is None:

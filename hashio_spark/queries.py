@@ -45,6 +45,12 @@ _TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
 # has enough natural splits and is left untouched, so this is exactly the
 # small-input fix-up AQE coalescing performs in the other direction.
 _FANOUT_MAX_BYTES = int(os.environ.get("SPARK_GRAFT_FANOUT_MAX_BYTES", str(64 * 1024 * 1024)))
+# ...and a floor: tables under ~4 MB (dimension tables — customer, nation,
+# region, supplier) carry so little per-row work that the fan-out exchange
+# is pure overhead, and several of them feed broadcast joins where an
+# exchange below the BroadcastExchange is a wasted shuffle of the whole
+# table.
+_FANOUT_MIN_BYTES = int(os.environ.get("SPARK_GRAFT_FANOUT_MIN_BYTES", str(4 * 1024 * 1024)))
 
 
 def _table_bytes(path: str) -> int:
@@ -75,7 +81,8 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = spark.read.parquet(path)
         n = spark.sparkContext.defaultParallelism
         try:
-            small = _table_bytes(path) <= _FANOUT_MAX_BYTES
+            tb = _table_bytes(path)
+            small = _FANOUT_MIN_BYTES <= tb <= _FANOUT_MAX_BYTES
         except OSError:
             small = False
         if small and n > 1:
@@ -132,11 +139,19 @@ GROUP BY l_returnflag, l_linestatus
 def top_revenue_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
-    rev = (
-        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
-        .groupBy("c_custkey", "c_name")
-        .agg(F.round(F.sum(_dec("o_totalprice")).cast("double"), 2).alias("revenue"),
-             F.count(F.lit(1)).alias("n_orders"))
+    # aggregate FIRST on the long o_custkey, then broadcast-join the name:
+    # the partial/final agg runs over a narrow bigint key instead of
+    # dragging c_name strings through both agg stages, and the join
+    # probes 150k aggregated rows, not 1.5M order lines.  c_custkey is
+    # the customer PK (c_name functionally dependent) and the join stays
+    # inner, so grouping by key alone is row-identical to the former
+    # groupBy(c_custkey, c_name) after the join.
+    per_cust = o.groupBy("o_custkey").agg(
+        F.round(F.sum(_dec("o_totalprice")).cast("double"), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    rev = per_cust.join(F.broadcast(c), per_cust["o_custkey"] == c["c_custkey"]).select(
+        "c_custkey", "c_name", "revenue", "n_orders"
     )
     # top-k via orderBy+limit → TakeOrderedAndProject (per-partition
     # heaps, driver merge of k rows) instead of a global row_number()
@@ -338,12 +353,21 @@ def dedupe_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # size(split(text)) evaluates one cheap split at the scan — and sig0
     # is null exactly iff the doc has <3 tokens.
     sig = minhash_signature(spark, sf_dir, drop_short=True)
-    b0 = sig.select("doc_id", F.concat_ws("_", F.lit("b0"), "sig0", "sig1").alias("band"))
-    b1 = sig.select("doc_id", F.concat_ws("_", F.lit("b1"), "sig2", "sig3").alias("band"))
+    # both bands come from ONE pass over the signature pipeline:
+    # explode(array(b0, b1)) emits the same rows as the former
+    # b0 ∪ b1 union, whose two branches each recomputed the whole
+    # shingle+md5 upstream (measured: bands materialization 3.2 s → 2.2 s
+    # at sf1.0)
+    bands_col = F.explode(
+        F.array(
+            F.concat_ws("_", F.lit("b0"), "sig0", "sig1"),
+            F.concat_ws("_", F.lit("b1"), "sig2", "sig3"),
+        )
+    )
     # persisted: bands feeds sizes + both self-join sides — without this
     # the md5 minhash upstream is recomputed per consumer (see
     # operators/dedupe.lsh_candidate_pairs for the measured effect)
-    bands = b0.unionByName(b1).persist()
+    bands = sig.select("doc_id", bands_col.alias("band")).persist()
     sizes = bands.groupBy("band").agg(F.count(F.lit(1)).alias("n"))
     ok = bands.join(sizes.filter((F.col("n") > 1) & (F.col("n") <= MAX_BAND)), "band")
     a = ok.select(F.col("doc_id").alias("doc_a"), "band")
@@ -3220,9 +3244,13 @@ def partition_bloom_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hashio_spark.functions.digests import parity_udf
 
     # Arrow md5 (lock-free hashlib) for the row-level digest — the JVM
-    # builtin serializes on the JCA lock (BENCH.md finding #1)
+    # builtin serializes on the JCA lock (BENCH.md finding #1).  NULL
+    # text must stay NULL (the oracle's md5(NULL) is NULL, while the
+    # parity kernel hashes b"" for reference parity — ADVICE r5): the
+    # when-guard restores oracle null semantics at the projection.
     d = _t(spark, sf_dir, "documents").select(
-        "source", parity_udf("md5")(F.col("text")).alias("digest")
+        "source",
+        F.when(F.col("text").isNotNull(), parity_udf("md5")(F.col("text"))).alias("digest"),
     )
     fp = partition_fingerprint(d, "source", "digest")
     return fp.select("source", bloom_serialize_expr().alias("bloom")).orderBy("source")
@@ -3283,9 +3311,13 @@ def bloom_probe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hashio_spark.functions.digests import parity_udf
 
     # Arrow md5 (lock-free hashlib) for the row-level digest — the JVM
-    # builtin serializes on the JCA lock (BENCH.md finding #1)
+    # builtin serializes on the JCA lock (BENCH.md finding #1).  NULL
+    # text stays NULL to match the oracle's md5(NULL) (ADVICE r5, same
+    # guard as partition_bloom_q).
     d = _t(spark, sf_dir, "documents").select(
-        "doc_id", "source", parity_udf("md5")(F.col("text")).alias("digest")
+        "doc_id",
+        "source",
+        F.when(F.col("text").isNotNull(), parity_udf("md5")(F.col("text"))).alias("digest"),
     )
     fp = partition_fingerprint(d, "source", "digest")
     present = d.filter(F.col("doc_id") < 5).select("digest")
