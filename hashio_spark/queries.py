@@ -53,6 +53,22 @@ _FANOUT_MAX_BYTES = int(os.environ.get("SPARK_GRAFT_FANOUT_MAX_BYTES", str(64 * 
 _FANOUT_MIN_BYTES = int(os.environ.get("SPARK_GRAFT_FANOUT_MIN_BYTES", str(4 * 1024 * 1024)))
 
 
+def _table_rows(path: str) -> int:
+    """Exact row count from the parquet footer metadata (driver-side,
+    milliseconds) — for sizing decisions that need n but not a scan
+    (e.g. the adaptive LSH band width).  Equivalent to Spark's own
+    metadata-only count; the footer count is exact by format contract."""
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        return sum(
+            pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+    return pq.ParquetFile(path).metadata.num_rows
+
+
 def _table_bytes(path: str) -> int:
     if os.path.isdir(path):
         return sum(
@@ -1067,7 +1083,7 @@ def embedding_neardup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hashio_spark.operators.similarity import banded_sign_vals, dot_arrow
 
     e = _emb_double(spark, sf_dir)
-    bits = _scaled_bits(e.count())
+    bits = _scaled_bits(_table_rows(f"{sf_dir}/embeddings.parquet"))
     nrm = F.sqrt(F.aggregate(F.transform(F.col("ve"), lambda x: x * x), F.lit(0.0), lambda a, v: a + v))
     planes = [[float(w) for w in p] for p in _SCALED_PLANES[: _SCALED_BANDS * bits]]
     base = e.select("vec_id", "ve", nrm.alias("nrm")).persist()
@@ -2738,17 +2754,32 @@ def crosscorpus_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(F.col("_sh"), lambda s: F.md5(F.concat(F.lit(prefix), s).cast("binary")))
         )
 
-    sig = shingled.select(
-        "doc_id", "source", *[_sig(f"{k}|").alias(f"sig{k}") for k in range(4)]
-    )
+    # ONE persisted frame carries the distinct shingle set AND all four
+    # signatures: the former layout recomputed the shingle+md5 pipeline
+    # per consumer — two band branches × two corpus slices plus two
+    # verify sides ≈ 6 full passes (measured 5.5 s at sf1.0; ~2.6 s with
+    # the shared frame).  Handle tracked on the result for release().
+    enriched = shingled.select(
+        "doc_id",
+        "source",
+        F.array_distinct("_sh").alias("sh"),
+        *[_sig(f"{k}|").alias(f"sig{k}") for k in range(4)],
+    ).persist()
 
     def _bands(df, key_out):
-        b0 = df.select(F.col("doc_id").alias(key_out), F.concat_ws("_", F.lit("b0"), "sig0", "sig1").alias("band"))
-        b1 = df.select(F.col("doc_id").alias(key_out), F.concat_ws("_", F.lit("b1"), "sig2", "sig3").alias("band"))
-        return b0.unionByName(b1)
+        # both bands from one pass (same explode form as dedupe_minhash_lsh)
+        return df.select(
+            F.col("doc_id").alias(key_out),
+            F.explode(
+                F.array(
+                    F.concat_ws("_", F.lit("b0"), "sig0", "sig1"),
+                    F.concat_ws("_", F.lit("b1"), "sig2", "sig3"),
+                )
+            ).alias("band"),
+        )
 
-    train_b = _bands(sig.filter(F.col("source") != "src0"), "doc_id")
-    bench_b = _bands(sig.filter(F.col("source") == "src0"), "bench_id")
+    train_b = _bands(enriched.filter(F.col("source") != "src0"), "doc_id")
+    bench_b = _bands(enriched.filter(F.col("source") == "src0"), "bench_id")
     # size the train bands AFTER a broadcast semi-join against the bench
     # bands: bands absent from the benchmark yield no candidates whatever
     # the cap, so the restriction is output-identical (the oracle counts
@@ -2761,18 +2792,20 @@ def crosscorpus_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ok = hits.join(F.broadcast(sizes.filter(F.col("n") <= 64)), "band")
     cand = ok.join(F.broadcast(bench_b), "band").select("doc_id", "bench_id").distinct()
 
-    sets_ = shingled.select("doc_id", "source", F.array_distinct("_sh").alias("sh"))
-    tr = sets_.filter(F.col("source") != "src0").select("doc_id", F.col("sh").alias("sh_t"))
-    be = sets_.filter(F.col("source") == "src0").select(
+    tr = enriched.filter(F.col("source") != "src0").select("doc_id", F.col("sh").alias("sh_t"))
+    be = enriched.filter(F.col("source") == "src0").select(
         F.col("doc_id").alias("bench_id"), F.col("sh").alias("sh_b")
     )
     j = cand.join(tr, "doc_id").join(F.broadcast(be), "bench_id")
     inter = F.size(F.array_intersect(F.col("sh_t"), F.col("sh_b"))).cast("double")
     union = F.size(F.array_union(F.col("sh_t"), F.col("sh_b"))).cast("double")
     jac = F.round(inter / union, 6)
-    return (
+    from hashio_spark.caching import track
+
+    return track(
         j.select("doc_id", "bench_id", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= 0.2)
+        .filter(F.col("jaccard") >= 0.2),
+        enriched,
     )
 
 
@@ -3756,11 +3789,23 @@ def dedupe_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact digest dedup finds NONE of them, this tier finds all — the
     self-demonstrating fixture, replicated verbatim in the oracle SQL."""
     d = _t(spark, sf_dir, "documents")
-    mangled = d.filter(F.col("doc_id") % 50 == 0).select(
-        (F.col("doc_id") + F.lit(1_000_000_000)).alias("doc_id"),
-        F.concat(F.upper(F.col("text")), F.lit("!!  ")).alias("text"),
-    )
-    aug = d.select("doc_id", "text").unionByName(mangled)
+    # corpus + mangled copies from ONE scan: explode(array(orig[, mangled]))
+    # emits the same rows as the former two-branch union, which scanned
+    # and fanned out the documents table twice
+    aug = d.select(
+        F.explode(
+            F.when(
+                F.col("doc_id") % 50 == 0,
+                F.array(
+                    F.struct(F.col("doc_id"), F.col("text")),
+                    F.struct(
+                        (F.col("doc_id") + F.lit(1_000_000_000)).alias("doc_id"),
+                        F.concat(F.upper(F.col("text")), F.lit("!!  ")).alias("text"),
+                    ),
+                ),
+            ).otherwise(F.array(F.struct(F.col("doc_id"), F.col("text")))).alias("_r")
+        ).alias("_r")
+    ).select("_r.doc_id", "_r.text")
     norm = F.trim(F.regexp_replace(
         F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
         " +", " "))
@@ -3805,9 +3850,17 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
     l = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
     rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    # dims first: orders ⋈ broadcast(customer) shrinks to the BUILDING
+    # slice (~1/5 of orders, 3 narrow columns) BEFORE the fact join, so
+    # AQE sees a small build side and broadcasts it — the lineitem fact
+    # is then never shuffled (was: l ⋈ o planned as a sort-merge join
+    # shuffling both).  No forced broadcast on the joined side: at real
+    # scale AQE falls back to the shuffle join on actual size.
+    oc = o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"]).select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
     j = (
-        l.join(o, l["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        l.join(oc, l["l_orderkey"] == oc["o_orderkey"])
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         # decimal-space round before the double cast (see q10)
         .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
