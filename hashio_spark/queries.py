@@ -32,25 +32,34 @@ from hashio_spark.operators import verify as verify_ops
 
 _TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
 
-# Scan-parallelism floor (guide §2.2/§6): tables at or below this size get
-# one round-robin exchange right after the scan.  The sandbox testdata is
+# Scan-parallelism floor (guide §2.2/§6): qualifying tables get one
+# round-robin exchange right after the scan.  The sandbox testdata is
 # single-file parquet with ONE row group for every table except lineitem —
 # parquet cannot be split below a row group, so the scan yields one task
 # and every expression-heavy pipeline above it (md5 shingle minhash,
 # set-similarity ordering, Arrow matmuls) runs serial while the other 31
 # cores idle (measured: dedupe_minhash_lsh 13.7 s at sf1.0, single scan
-# task).  Shuffling a ≤64 MB table costs milliseconds and fans all
-# downstream work out to every core.  The gate derives from the input
-# size, not a local core count: at production scale any table past 64 MB
-# has enough natural splits and is left untouched, so this is exactly the
-# small-input fix-up AQE coalescing performs in the other direction.
+# task).  Three gates, all derived from the input's footer metadata, not
+# from a local core count:
+#   * size ≤ MAX (64 MB): past that, natural splits exist and the scan
+#     parallelizes itself — exactly the small-input fix-up AQE coalescing
+#     performs in the other direction;
+#   * size ≥ MIN (4 MB): dimension tables carry so little work that the
+#     exchange is pure overhead (and several feed broadcast joins, where
+#     an exchange below the BroadcastExchange is a wasted shuffle);
+#   * avg row width ≥ MIN_ROW_BYTES (64 B compressed): wide rows (long
+#     text, embedding arrays) mean the per-row kernels (interpreted
+#     higher-order shingle/matmul pipelines) dwarf the scan, so the
+#     fan-out shuffle pays for itself many times over; thin rows
+#     (relational/event facts, ~16-20 B/row here) are cheap codegen
+#     scans with map-side partial aggregation where the same shuffle
+#     LOSES time — measured A/B at both sf0.1 and sf1.0: fanning
+#     lineitem/orders/events cost +0.2-0.7 s per leg
+#     (latest_event_per_user 0.98 → 0.24 s WITHOUT the fan-out), while
+#     fanning documents/embeddings saves multiple seconds per leg.
 _FANOUT_MAX_BYTES = int(os.environ.get("SPARK_GRAFT_FANOUT_MAX_BYTES", str(64 * 1024 * 1024)))
-# ...and a floor: tables under ~4 MB (dimension tables — customer, nation,
-# region, supplier) carry so little per-row work that the fan-out exchange
-# is pure overhead, and several of them feed broadcast joins where an
-# exchange below the BroadcastExchange is a wasted shuffle of the whole
-# table.
 _FANOUT_MIN_BYTES = int(os.environ.get("SPARK_GRAFT_FANOUT_MIN_BYTES", str(4 * 1024 * 1024)))
+_FANOUT_MIN_ROW_BYTES = int(os.environ.get("SPARK_GRAFT_FANOUT_MIN_ROW_BYTES", "64"))
 
 
 def _table_rows(path: str) -> int:
@@ -98,10 +107,12 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         n = spark.sparkContext.defaultParallelism
         try:
             tb = _table_bytes(path)
-            small = _FANOUT_MIN_BYTES <= tb <= _FANOUT_MAX_BYTES
+            fan = _FANOUT_MIN_BYTES <= tb <= _FANOUT_MAX_BYTES and tb >= _FANOUT_MIN_ROW_BYTES * max(
+                _table_rows(path), 1
+            )
         except OSError:
-            small = False
-        if small and n > 1:
+            fan = False
+        if fan and n > 1:
             df = df.repartition(n)
         _TABLE_CACHE[key] = df
     return df
@@ -297,7 +308,9 @@ GROUP BY 1 HAVING count(*) > 1
 """
 
 
-def minhash_signature(spark: SparkSession, sf_dir: str, drop_short: bool = False) -> DataFrame:
+def minhash_signature(
+    spark: SparkSession, sf_dir: str, drop_short: bool = False, with_sets: bool = False
+) -> DataFrame:
     """4-permutation MinHash over 3-word shingles (near-dup building block).
     Permutation k = md5 prefixed with the permutation index.
 
@@ -305,33 +318,27 @@ def minhash_signature(spark: SparkSession, sf_dir: str, drop_short: bool = False
     unguarded ``sequence(1, size-2)`` is DESCENDING for short docs and
     crashes ``slice``; DuckDB's ``generate_series(1,0)`` is empty, so the
     guard also keeps the two engines in agreement)."""
+    from hashio_spark.functions.digests import minhash4_md5_arrow
+
     d = _t(spark, sf_dir, "documents")
     if drop_short:
         # scan-column filter (one split at the scan) so downstream LSH
         # never needs a sig-null check that would re-run the md5 pipeline
         d = d.filter(F.size(F.split(F.col("text"), " ")) >= 3)
-    # staged projections (tokens → shingles → sigs): inline split/shingle
-    # trees inside interpreted lambdas re-execute per element/permutation
-    # (BENCH.md finding #7); bound attributes are read per row instead
-    toked = d.select("doc_id", F.split(F.col("text"), " ").alias("_toks"))
-    tk = F.col("_toks")
-    idx = F.when(F.size(tk) >= 3, F.sequence(F.lit(1), F.size(tk) - 2)).otherwise(
-        F.array().cast("array<int>")
-    )
-    shingled = toked.select(
-        "doc_id", F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tk, i, 3))).alias("_sh")
-    )
-
-    def _sig(prefix: str):
-        # NB: the lambda must be unary — pyspark's transform() passes
-        # (element, index) to binary lambdas, so a default-arg capture
-        # (lambda s, k=k: ...) would silently bind k to the index Column.
-        return F.array_min(
-            F.transform(F.col("_sh"), lambda s: F.md5(F.concat(F.lit(prefix), s).cast("binary")))
-        )
-
-    cols = [F.col("doc_id")] + [_sig(f"{k}|").alias(f"sig{k}") for k in range(4)]
-    return shingled.select(*cols)
+    # the whole text → shingles → 4×(md5, min) pipeline runs in ONE Arrow
+    # kernel (functions/digests.minhash4_md5_arrow): the former JVM form
+    # paid four interpreted higher-order md5 passes through the JCA lock
+    # (BENCH.md finding #1) — measured 2.0 s → 1.0 s at sf1.0 for
+    # byte-identical output.  ``with_sets`` rides the distinct shingle
+    # set along for verify-stage consumers (ngram_jaccard /
+    # ngram_containment) so one materialization serves banding AND exact
+    # verification.
+    s = d.select("doc_id", minhash4_md5_arrow(with_sets)(F.col("text")).alias("_s"))
+    cols = [F.col("doc_id")]
+    if with_sets:
+        cols.append(F.col("_s.sh").alias("sh"))
+    cols += [F.col(f"_s.sig{k}").alias(f"sig{k}") for k in range(4)]
+    return s.select(*cols)
 
 
 MINHASH_SIGNATURE_SQL = """
@@ -368,35 +375,42 @@ def dedupe_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pipeline per row just for the check (BENCH.md finding #8), while
     # size(split(text)) evaluates one cheap split at the scan — and sig0
     # is null exactly iff the doc has <3 tokens.
-    sig = minhash_signature(spark, sf_dir, drop_short=True)
-    # both bands come from ONE pass over the signature pipeline:
-    # explode(array(b0, b1)) emits the same rows as the former
-    # b0 ∪ b1 union, whose two branches each recomputed the whole
-    # shingle+md5 upstream (measured: bands materialization 3.2 s → 2.2 s
-    # at sf1.0)
+    pairs, enr = _lsh_candidate_pairs(spark, sf_dir, MAX_BAND)
+    from hashio_spark.caching import track
+
+    return track(pairs, enr)
+
+
+def _lsh_candidate_pairs(spark, sf_dir, max_band: int, with_sets: bool = False):
+    """Shared core of the md5-minhash LSH queries: (pairs, persisted
+    per-doc frame).  The persisted frame carries the four signatures —
+    and, when ``with_sets``, the distinct shingle set — so every
+    consumer (band sizes, both self-join sides, a verify stage) reads
+    one materialization of the shingle+md5 pipeline instead of
+    recomputing it.  Both bands come from ONE pass via
+    explode(array(b0, b1)): the former b0 ∪ b1 union recomputed the
+    upstream per branch (measured: bands materialization 3.2 s → 2.2 s
+    at sf1.0)."""
+    sig = minhash_signature(spark, sf_dir, drop_short=True, with_sets=with_sets)
+    enr = sig.persist()
     bands_col = F.explode(
         F.array(
             F.concat_ws("_", F.lit("b0"), "sig0", "sig1"),
             F.concat_ws("_", F.lit("b1"), "sig2", "sig3"),
         )
     )
-    # persisted: bands feeds sizes + both self-join sides — without this
-    # the md5 minhash upstream is recomputed per consumer (see
-    # operators/dedupe.lsh_candidate_pairs for the measured effect)
-    bands = sig.select("doc_id", bands_col.alias("band")).persist()
+    bands = enr.select("doc_id", bands_col.alias("band"))
     sizes = bands.groupBy("band").agg(F.count(F.lit(1)).alias("n"))
-    ok = bands.join(sizes.filter((F.col("n") > 1) & (F.col("n") <= MAX_BAND)), "band")
+    ok = bands.join(sizes.filter((F.col("n") > 1) & (F.col("n") <= max_band)), "band")
     a = ok.select(F.col("doc_id").alias("doc_a"), "band")
     b = ok.select(F.col("doc_id").alias("doc_b"), "band")
-    out = (
+    pairs = (
         a.join(b, "band")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
     )
-    from hashio_spark.caching import track
-
-    return track(out, bands)
+    return pairs, enr
 
 
 DEDUPE_MINHASH_LSH_SQL = """
@@ -432,25 +446,23 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the verify stage of the near-dup pipeline): candidates from
     :func:`dedupe_minhash_lsh`, shingle sets rebuilt per side, pairs kept
     at jaccard >= 0.2.  Staged projections per BENCH.md finding #7."""
-    cand = dedupe_minhash_lsh(spark, sf_dir)
-    d = _t(spark, sf_dir, "documents")
-    toked = d.select("doc_id", F.split(F.col("text"), " ").alias("_toks"))
-    tk = F.col("_toks")
-    idx = F.when(F.size(tk) >= 3, F.sequence(F.lit(1), F.size(tk) - 2)).otherwise(
-        F.array().cast("array<int>")
-    )
-    sets_ = toked.select(
-        "doc_id",
-        F.array_distinct(F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tk, i, 3)))).alias("sh"),
-    )
-    a = sets_.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    b = sets_.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    # the LSH helper's persisted frame carries the distinct shingle sets
+    # (with_sets=True), so the verify stage reads the SAME
+    # materialization the banding used instead of rebuilding the shingle
+    # pipeline from the corpus (drop_short is output-neutral here:
+    # candidates only ever reference banded docs)
+    cand, enr = _lsh_candidate_pairs(spark, sf_dir, 64, with_sets=True)
+    a = enr.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = enr.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     j = cand.join(a, "doc_a").join(b, "doc_b")
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double")
     union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b"))).cast("double")
-    return (
+    from hashio_spark.caching import track
+
+    return track(
         j.select("doc_a", "doc_b", F.round(inter / union, 6).alias("jaccard"))
-        .filter(F.col("jaccard") >= 0.2)
+        .filter(F.col("jaccard") >= 0.2),
+        enr,
     )
 
 
@@ -2736,34 +2748,24 @@ def crosscorpus_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     Candidates then pass exact Jaccard >= 0.2 with the benchmark shingle
     sets also broadcast.  Production tier: xxhash64 signatures, n_perm=16
     (`crosscorpus_neardup`)."""
+    from hashio_spark.functions.digests import minhash4_md5_arrow
+
     d = _t(spark, sf_dir, "documents").filter(
         F.size(F.split(F.col("text"), " ")) >= 3
     )
-    toked = d.select("doc_id", "source", F.split(F.col("text"), " ").alias("_toks"))
-    tk = F.col("_toks")
-    idx = F.when(F.size(tk) >= 3, F.sequence(F.lit(1), F.size(tk) - 2)).otherwise(
-        F.array().cast("array<int>")
-    )
-    shingled = toked.select(
-        "doc_id", "source",
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tk, i, 3))).alias("_sh"),
-    )
-
-    def _sig(prefix: str):
-        return F.array_min(
-            F.transform(F.col("_sh"), lambda s: F.md5(F.concat(F.lit(prefix), s).cast("binary")))
-        )
-
     # ONE persisted frame carries the distinct shingle set AND all four
-    # signatures: the former layout recomputed the shingle+md5 pipeline
-    # per consumer — two band branches × two corpus slices plus two
-    # verify sides ≈ 6 full passes (measured 5.5 s at sf1.0; ~2.6 s with
-    # the shared frame).  Handle tracked on the result for release().
-    enriched = shingled.select(
+    # signatures (the Arrow kernel — see minhash_signature): the former
+    # layout recomputed the JVM shingle+md5 pipeline per consumer — two
+    # band branches × two corpus slices plus two verify sides ≈ 6 full
+    # passes (measured 5.5 s at sf1.0; ~2.6 s shared; ~2.2 s with the
+    # kernel).  Handle tracked on the result for release().
+    enriched = d.select(
+        "doc_id", "source", minhash4_md5_arrow(True)(F.col("text")).alias("_s")
+    ).select(
         "doc_id",
         "source",
-        F.array_distinct("_sh").alias("sh"),
-        *[_sig(f"{k}|").alias(f"sig{k}") for k in range(4)],
+        F.col("_s.sh").alias("sh"),
+        *[F.col(f"_s.sig{k}").alias(f"sig{k}") for k in range(4)],
     ).persist()
 
     def _bands(df, key_out):
@@ -3709,19 +3711,11 @@ def ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same scale shape as :func:`ngram_jaccard`: candidates only (never
     all-pairs), staged shingle-set projections, one intersect per pair;
     the intersection is computed once and reused for both directions."""
-    cand = dedupe_minhash_lsh(spark, sf_dir)
-    d = _t(spark, sf_dir, "documents")
-    toked = d.select("doc_id", F.split(F.col("text"), " ").alias("_toks"))
-    tk = F.col("_toks")
-    idx = F.when(F.size(tk) >= 3, F.sequence(F.lit(1), F.size(tk) - 2)).otherwise(
-        F.array().cast("array<int>")
-    )
-    sets_ = toked.select(
-        "doc_id",
-        F.array_distinct(F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tk, i, 3)))).alias("sh"),
-    )
-    a = sets_.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    b = sets_.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    # same shared-materialization shape as ngram_jaccard: the LSH frame
+    # carries the distinct shingle sets for the verify stage
+    cand, enr = _lsh_candidate_pairs(spark, sf_dir, 64, with_sets=True)
+    a = enr.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = enr.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     j = cand.join(a, "doc_a").join(b, "doc_b")
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double")
     out = j.select(
@@ -3729,7 +3723,11 @@ def ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(inter / F.size("sh_a").cast("double"), 6).alias("containment_a"),
         F.round(inter / F.size("sh_b").cast("double"), 6).alias("containment_b"),
     )
-    return out.filter((F.col("containment_a") >= 0.5) | (F.col("containment_b") >= 0.5))
+    from hashio_spark.caching import track
+
+    return track(
+        out.filter((F.col("containment_a") >= 0.5) | (F.col("containment_b") >= 0.5)), enr
+    )
 
 
 NGRAM_CONTAINMENT_SQL = """
