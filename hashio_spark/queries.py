@@ -3349,11 +3349,13 @@ def bloom_probe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # builtin serializes on the JCA lock (BENCH.md finding #1).  NULL
     # text stays NULL to match the oracle's md5(NULL) (ADVICE r5, same
     # guard as partition_bloom_q).
+    # persisted: the Arrow-md5 digest frame feeds both the fingerprint
+    # build and the present-probe slice — one kernel pass instead of two
     d = _t(spark, sf_dir, "documents").select(
         "doc_id",
         "source",
         F.when(F.col("text").isNotNull(), parity_udf("md5")(F.col("text"))).alias("digest"),
-    )
+    ).persist()
     fp = partition_fingerprint(d, "source", "digest")
     present = d.filter(F.col("doc_id") < 5).select("digest")
     absent = spark.range(5).select(
@@ -3362,7 +3364,11 @@ def bloom_probe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     probes = present.unionAll(absent)
-    return fingerprint_probe(fp, probes, "source", "digest").orderBy("digest", "source")
+    from hashio_spark.caching import track
+
+    return track(
+        fingerprint_probe(fp, probes, "source", "digest").orderBy("digest", "source"), d
+    )
 
 
 _PROBE_COND = " AND ".join(

@@ -333,16 +333,19 @@ def main() -> None:
 
     release(q)
 
-    # 19. tf-idf top terms: hash aggs for tf/df, top-k window PARTITIONED
-    # by doc_id (never a single-partition global window), no python
+    # 19. tf-idf top terms: hash aggs for tf/df; top-k per doc via ONE
+    # aggregation (collect + sort_array + slice, then a Generate for the
+    # rank explode) — r06 replaced the row_number window, whose extra
+    # per-doc shuffle+sort cost ~0.7 s at sf1.0.  NO Window may appear,
+    # and never a single-partition exchange.
     q = REGISTRY["tfidf_top_terms"][0](spark, SF)
     p = plan_of(q)
     notes = check(
         "tfidf_top_terms", p,
-        must=[r"HashAggregate", r"BroadcastExchange", r"Window"],
-        must_not=[r"BatchEvalPython", r"Exchange SinglePartition", r"CartesianProduct"],
+        must=[r"HashAggregate", r"BroadcastExchange", r"Generate"],
+        must_not=[r"BatchEvalPython", r"Exchange SinglePartition", r"CartesianProduct", r"Window"],
     )
-    sections.append(("tfidf_top_terms (tf/df hash aggs, per-doc top-k window)", p, notes))
+    sections.append(("tfidf_top_terms (tf/df hash aggs, agg-based per-doc top-k)", p, notes))
 
     # 20. retention cohorts: first-seen agg + join co-partitioned on
     # user_id, then distinct + count — all hash aggregates
