@@ -118,6 +118,33 @@ def test_check_schema_verdicts(spark, table):
     assert ok.status == "ok"
 
 
+def test_check_schema_structural_coercion(spark):
+    """ADVICE r5: a semantically valid input must not be rejected for
+    struct field ORDER or integer WIDTH — consumers access fields by
+    name, and bigint offsets are common from other writers."""
+    docs = spark.createDataFrame(
+        [("d", [("x", None, 7, "text")])],
+        # fields reordered AND offset widened to bigint
+        "doc_id string, spans array<struct<text:string,media_ref:string,offset:bigint,kind:string>>",
+    )
+    contract = [
+        SchemaField(
+            "spans", "array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+        ),
+    ]
+    assert check_schema(docs, contract).collect()[0].status == "ok"
+    # a genuinely wrong type still fails
+    bad = check_schema(
+        docs, [SchemaField("spans", "array<struct<kind:string,text:int,media_ref:string,offset:int>>")]
+    ).collect()[0]
+    assert bad.status == "type_mismatch"
+    # a missing struct field still fails
+    bad2 = check_schema(
+        docs, [SchemaField("spans", "array<struct<kind:string,text:string,offset:int>>")]
+    ).collect()[0]
+    assert bad2.status == "type_mismatch"
+
+
 def test_single_aggregation_pass(table):
     """All rules must compile into ONE aggregate — a corpus-sized input
     is scanned once regardless of rule count."""
